@@ -1,0 +1,81 @@
+"""Gap-fill: materialize missing turns per conversation and fill them.
+
+Reference parity (SURVEY §2.8 F7): ``Extract_Transform_Labeler.py:49-70``
+fills holes between label intervals with Background, merges adjacent
+same-label intervals, and back-fills the tail to ``end_labelling``; the
+MNE reader maps missing channels to ``-1`` sentinels
+(``mne_reader.py:53-55,133-135``). Our version:
+
+- the missing-turn grid is materialized with ``sequence()`` per
+  conversation (bounded by that conversation's min/max present turn_idx —
+  no head/tail extrapolation, mirroring the reference's refusal to invent
+  data before the first interval);
+- ``ts`` is **linearly interpolated** between the previous and next
+  present turns using exact integer µs arithmetic (``DIV`` truncation,
+  positive operands → floor) so results are bit-identical across
+  partitionings and match the pandas oracle;
+- ``role``/``tool`` are **forward-filled** (``last(..., ignoreNulls)``
+  over the stable order);
+- ``text`` of filled turns is a configurable default (NULL-free so the
+  per-turn text-equality invariant can distinguish filled rows via
+  ``is_gap_filled`` instead of sentinel values).
+
+Everything is window functions over the stable (conv_id, turn_idx) order
+— one shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def gapfill(turns: DataFrame, default_text: str = "") -> DataFrame:
+    """Return turns with missing turn_idx rows materialized and filled,
+    plus an ``is_gap_filled`` boolean column."""
+    grid = (
+        turns.groupBy("conv_id")
+        .agg(F.min("turn_idx").alias("lo"), F.max("turn_idx").alias("hi"))
+        .select(
+            "conv_id",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("turn_idx"),
+        )
+    )
+    j = grid.join(turns, ["conv_id", "turn_idx"], "left").withColumn(
+        "is_gap_filled", F.col("ts").isNull()
+    )
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_back = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = w.rowsBetween(0, Window.unboundedFollowing)
+
+    ts_us = F.unix_micros(F.col("ts"))
+    present_idx = F.when(F.col("ts").isNotNull(), F.col("turn_idx"))
+    prev_us = F.last(ts_us, ignorenulls=True).over(w_back)
+    prev_idx = F.last(present_idx, ignorenulls=True).over(w_back)
+    next_us = F.first(ts_us, ignorenulls=True).over(w_fwd)
+    next_idx = F.first(present_idx, ignorenulls=True).over(w_fwd)
+
+    # exact integer interpolation: prev + (next-prev)*(i-prev_i) DIV (next_i-prev_i)
+    filled = (
+        j.withColumn("_prev_us", prev_us)
+        .withColumn("_prev_idx", prev_idx)
+        .withColumn("_next_us", next_us)
+        .withColumn("_next_idx", next_idx)
+        .withColumn(
+            "ts",
+            F.when(F.col("is_gap_filled"), F.timestamp_micros(F.col("_prev_us") + F.expr(
+                "(_next_us - _prev_us) * (turn_idx - _prev_idx) DIV (_next_idx - _prev_idx)"
+            ))).otherwise(F.col("ts")),
+        )
+        .withColumn("role", F.last("role", ignorenulls=True).over(w_back))
+        .withColumn("tool", F.when(F.col("is_gap_filled"), F.last("tool", ignorenulls=True).over(w_back)).otherwise(F.col("tool")))
+        .withColumn(
+            "text",
+            F.when(F.col("is_gap_filled"), F.lit(default_text)).otherwise(F.col("text")),
+        )
+    )
+    return filled.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "is_gap_filled"
+    )

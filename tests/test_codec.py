@@ -1,0 +1,80 @@
+"""Codec round-trip property tests (FIXTURES F7): decode(encode(x)) == x
+exactly — int64 for delta-of-delta, IEEE-754 bit patterns for Gorilla
+XOR — plus the Spark applyInPandas chunk-encode path."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from biomed_timeseries_preprocessing_spark.functions.codec import (
+    decode_chunk_row,
+    decode_dod,
+    decode_xor,
+    encode_chunks,
+    encode_dod,
+    encode_xor,
+)
+
+
+@given(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=0, max_size=300)
+)
+@settings(max_examples=60, deadline=None)
+def test_dod_roundtrip(values):
+    arr = np.array(values, dtype=np.int64)
+    assert np.array_equal(decode_dod(encode_dod(arr)), arr)
+
+
+@given(
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, width=64), min_size=0, max_size=300
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_xor_roundtrip_bit_exact(values):
+    arr = np.array(values, dtype=np.float64)
+    out = decode_xor(encode_xor(arr))
+    assert np.array_equal(out.view(np.uint64), arr.view(np.uint64))
+
+
+def test_compression_beats_raw_on_quantized_series():
+    rng = np.random.default_rng(42)
+    deltas = np.round(np.exp(1.2 + rng.normal(size=4999)) * 1000).astype(np.int64)
+    ts = np.concatenate(([1_760_000_000_000], 1_760_000_000_000 + np.cumsum(deltas)))
+    assert len(encode_dod(ts)) < 0.6 * 8 * len(ts)
+    lat = deltas.astype(np.float64)
+    assert len(encode_xor(lat)) < 0.6 * 8 * len(lat)
+
+
+def test_spark_chunk_encode_roundtrip(spark, small_transcripts):
+    from biomed_timeseries_preprocessing_spark.operators.derive import with_derived
+
+    derived = with_derived(small_transcripts)
+    chunks = encode_chunks(derived, chunk_seconds=3600)
+    rows = chunks.collect()
+    assert sum(r["n"] for r in rows) == derived.count()
+    # round-trip one non-trivial chunk exactly
+    row = max(rows, key=lambda r: r["n"])
+    dec = decode_chunk_row(row)
+    pdf = (
+        derived.filter(
+            (derived.conv_id == row["conv_id"])
+        )
+        .toPandas()
+        .sort_values(["ts", "turn_idx"], kind="mergesort")
+    )
+    start = row["chunk_start"]
+    sel = pdf[
+        (pdf["ts"].astype("datetime64[us]").astype("int64") // 3_600_000_000 * 3_600_000_000)
+        == int(np.datetime64(start, "us").astype("int64"))
+    ]
+    assert np.array_equal(
+        dec["ts_us"], sel["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    )
+    want_lat = sel["latency_ms"].astype("float64").to_numpy()
+    assert np.array_equal(
+        dec["latency_ms"].view(np.uint64), want_lat.view(np.uint64)
+    )
+    assert np.array_equal(dec["token_count"], sel["token_count"].astype("int64").to_numpy())
+    # compression accounting is populated
+    assert all(r["raw_bytes"] > 0 for r in rows)
