@@ -1,0 +1,115 @@
+"""Lineage/resume + retention + salted-rollup tests (SURVEY §5 item 4:
+resume-after-kill == uninterrupted run; FIXTURES F5)."""
+
+import argparse
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from biomed_timeseries_preprocessing_spark.operators.derive import with_derived
+from biomed_timeseries_preprocessing_spark.operators.retention import apply_retention
+from biomed_timeseries_preprocessing_spark.operators.rollup import rollup_from_turns
+from biomed_timeseries_preprocessing_spark.plans.skew import rollup_from_turns_salted
+from biomed_timeseries_preprocessing_spark.sources.catalog import LocalSnapshotCatalog
+from jobs.rollup_job import run as run_job
+
+
+def job_args(**kw):
+    base = dict(
+        source=None,
+        synth_convs=6,
+        warehouse=None,
+        run_id="t",
+        buckets=4,
+        tiers="1m,5m,1h,1d",
+        master=None,
+        no_resume=False,
+        fail_after_buckets=0,
+    )
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+def read_sorted(catalog, spark, table):
+    return (
+        catalog.read(spark, table)
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"], kind="mergesort")
+        .reset_index(drop=True)
+        .pipe(lambda d: d[sorted(d.columns)])
+    )
+
+
+def test_kill_and_resume_equals_uninterrupted(spark, tmp_path):
+    wh_a, wh_b = str(tmp_path / "a"), str(tmp_path / "b")
+
+    # uninterrupted
+    stats = run_job(job_args(warehouse=wh_a, run_id="r1"), spark=spark)
+    assert stats["buckets_run"] == 4
+
+    # killed after 2 buckets, then resumed
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_job(job_args(warehouse=wh_b, run_id="r1", fail_after_buckets=2), spark=spark)
+    resumed = run_job(job_args(warehouse=wh_b, run_id="r1"), spark=spark)
+    assert resumed["buckets_run"] == 2  # only the pending buckets ran
+
+    cat_a, cat_b = LocalSnapshotCatalog(wh_a), LocalSnapshotCatalog(wh_b)
+    for tier in ("1m", "5m", "1h", "1d"):
+        a = read_sorted(cat_a, spark, f"rollup_{tier}")
+        b = read_sorted(cat_b, spark, f"rollup_{tier}")
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+    # no recompute: exactly one lineage row per (stage, bucket)
+    lin = cat_b.read(spark, "lineage").toPandas()
+    per = lin.groupby(["stage", "partition_key"]).size()
+    assert (per == 1).all()
+    assert len(per) == 4 * 4
+
+
+def test_snapshot_isolation_and_expiry(spark, tmp_path):
+    cat = LocalSnapshotCatalog(str(tmp_path / "wh"))
+    df1 = spark.range(5).withColumnRenamed("id", "v")
+    df2 = spark.range(5, 8).withColumnRenamed("id", "v")
+    s1 = cat.append("t", df1)
+    s2 = cat.append("t", df2)
+    assert cat.read(spark, "t", snapshot_id=s1).count() == 5  # time travel
+    assert cat.read(spark, "t", snapshot_id=s2).count() == 8
+    cat.overwrite("t", df2)
+    assert cat.read(spark, "t").count() == 3
+    removed = cat.expire_snapshots("t", keep_last=1)
+    assert removed > 0
+    assert cat.read(spark, "t").count() == 3  # current untouched
+
+
+def test_retention_expiry(spark, tmp_path, small_transcripts):
+    cat = LocalSnapshotCatalog(str(tmp_path / "wh"))
+    tier = rollup_from_turns(with_derived(small_transcripts), "1m")
+    cat.append("rollup_1m", tier)
+    lo, hi = tier.toPandas()["bucket_start"].agg(["min", "max"])
+    cutoff = (lo + (hi - lo) / 2).to_pydatetime()
+    now = cutoff + dt.timedelta(seconds=7 * 86400)  # horizon lands on cutoff
+    removed = apply_retention(cat, spark, now, retention={"1m": 7 * 86400})
+    kept = cat.read(spark, "rollup_1m").toPandas()
+    assert removed["1m"] > 0
+    assert (kept["bucket_start"] >= cutoff).all()
+    assert removed["1m"] + len(kept) == tier.count()
+
+
+def test_salted_rollup_bit_identical(spark, small_transcripts):
+    derived = with_derived(small_transcripts)
+    plain = (
+        rollup_from_turns(derived, "1h")
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    salted = (
+        rollup_from_turns_salted(derived, "1h", n_salts=8)
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        plain[sorted(plain.columns)], salted[sorted(salted.columns)], check_exact=True
+    )
