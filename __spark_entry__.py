@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from biomed_timeseries_preprocessing_spark import driver_queries  # noqa: E402
+from biomed_timeseries_preprocessing_spark import driver_queries_ext  # noqa: E402,F401  (registers part-2 queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,423 @@
+"""Driver-contract queries, part 2: interval/label operators, dedup,
+text analysis, similarity, codecs, multimodal plumbing.
+
+Same conventions as driver_queries.py (registered into the same QUERIES /
+ORACLE dicts). Queries whose Spark implementation depends on xxhash64 or
+binary codecs have no SQL oracle (the driver records a rows-only check);
+their determinism is covered by pytest instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .driver_queries import ORACLE, QUERIES, q
+from .functions.codec import encode_chunks
+from .operators.dedup import exact_dedup, minhash_dedup, simhash
+from .operators.derive import with_derived
+from .operators.intervals import (
+    label_windows_majority,
+    merge_intervals,
+    overlap_join_windows,
+    with_coherence_flag,
+    zero_runs,
+)
+from .operators.multimodal import decode_assets, extract_features, synth_assets
+from .operators.similarity import brute_force_topk, lsh_topk
+from .operators.text import with_fingerprint, with_lang_id, with_quality_score, with_text_stats
+from .sources.events_adapter import (
+    EVENTS_AS_TRANSCRIPTS_NOGAP_SQL,
+    events_as_transcripts,
+    load_events,
+)
+
+__all__ = ["QUERIES", "ORACLE"]
+
+
+def _error_intervals(spark: SparkSession, sf_dir: str, minutes: int) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    us = minutes * 60 * 1_000_000
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.format_string("conv_%08d", F.col("user_id").cast("int")).alias("conv_id"),
+            F.col("ts").alias("start_ts"),
+            F.timestamp_micros(F.unix_micros("ts") + us).alias("end_ts"),
+        )
+        .distinct()
+    )
+
+
+_ERROR_INTERVALS_SQL = """
+SELECT DISTINCT printf('conv_%08d', CAST(user_id AS INT)) AS conv_id,
+       ts AS start_ts,
+       make_timestamp(epoch_us(ts) + {us}) AS end_ts
+FROM events WHERE event_type = 'error'
+"""
+
+
+# ------------------------------------------------- O5: interval merge
+
+@q(
+    "interval_merge_islands",
+    f"""
+WITH iv AS ({_ERROR_INTERVALS_SQL.format(us=10 * 60 * 1_000_000)}),
+m AS (
+  SELECT *,
+    CASE WHEN max(end_ts) OVER (PARTITION BY conv_id ORDER BY start_ts, end_ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= start_ts
+         THEN 0 ELSE 1 END AS is_new
+  FROM iv
+),
+g AS (
+  SELECT conv_id, start_ts, end_ts,
+         sum(is_new) OVER (PARTITION BY conv_id ORDER BY start_ts, end_ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+)
+SELECT conv_id, min(start_ts) AS start_ts, max(end_ts) AS end_ts
+FROM g GROUP BY conv_id, island
+""",
+)
+def interval_merge_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return merge_intervals(_error_intervals(spark, sf_dir, 10))
+
+
+# --------------------------------------- J2+A6: range join + majority
+
+@q(
+    "label_windows_majority",
+    f"""
+WITH t AS ({EVENTS_AS_TRANSCRIPTS_NOGAP_SQL}),
+iv AS (
+  SELECT DISTINCT printf('conv_%08d', CAST(user_id AS INT)) AS conv_id,
+         ts AS start_ts,
+         make_timestamp(epoch_us(ts) + {5 * 60 * 1_000_000}) AS end_ts,
+         event_type AS label
+  FROM events
+),
+win AS (
+  SELECT DISTINCT conv_id,
+         make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS win_start,
+         make_timestamp((epoch_us(ts) // 3600000000) * 3600000000 + 3600000000) AS win_end
+  FROM t
+),
+ov AS (
+  SELECT w.conv_id, w.win_start, i.label,
+         least(epoch_us(i.end_ts), epoch_us(w.win_end))
+           - greatest(epoch_us(i.start_ts), epoch_us(w.win_start)) AS overlap_us
+  FROM win w JOIN iv i
+    ON w.conv_id = i.conv_id AND w.win_start < i.end_ts AND i.start_ts < w.win_end
+),
+per AS (
+  SELECT conv_id, win_start, label, CAST(sum(overlap_us) AS BIGINT) AS dur_us
+  FROM ov GROUP BY conv_id, win_start, label
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, win_start
+                               ORDER BY dur_us DESC, label ASC) AS rn
+  FROM per
+)
+SELECT r.conv_id, r.win_start, r.label,
+       CAST(tot.total_us AS BIGINT) AS total_us
+FROM rk r
+JOIN (SELECT conv_id, win_start, sum(dur_us) AS total_us
+      FROM per GROUP BY conv_id, win_start) tot
+  ON r.conv_id = tot.conv_id AND r.win_start = tot.win_start
+WHERE r.rn = 1
+""",
+)
+def label_windows_majority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = events_as_transcripts(load_events(spark, sf_dir), with_gaps=False)
+    hour_us = 3_600_000_000
+    win = (
+        t.select(
+            "conv_id",
+            F.timestamp_micros(
+                F.floor(F.unix_micros("ts") / hour_us).cast("long") * hour_us
+            ).alias("win_start"),
+        )
+        .distinct()
+        .withColumn("win_end", F.timestamp_micros(F.unix_micros("win_start") + hour_us))
+    )
+    ev = load_events(spark, sf_dir)
+    iv = (
+        ev.select(
+            F.format_string("conv_%08d", F.col("user_id").cast("int")).alias("conv_id"),
+            F.col("ts").alias("start_ts"),
+            F.timestamp_micros(F.unix_micros("ts") + 5 * 60 * 1_000_000).alias("end_ts"),
+            F.col("event_type").alias("label"),
+        )
+        .distinct()
+    )
+    ov = overlap_join_windows(win, iv, coarse_seconds=3600)
+    out = label_windows_majority(ov, ["conv_id", "win_start"])
+    return out.select(
+        "conv_id", "win_start", "label", F.col("total_us").cast("long").alias("total_us")
+    )
+
+
+# ------------------------------------------------- P10: low-value runs
+
+@q(
+    "zero_run_lowvalue",
+    f"""
+WITH t AS (
+  SELECT printf('conv_%08d', CAST(user_id AS INT)) AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         ts, CASE WHEN value < 20 THEN 0 ELSE 1 END AS ind
+  FROM events
+),
+m AS (
+  SELECT *, CASE WHEN lag(ind) OVER w IS NULL OR lag(ind) OVER w <> ind THEN 1 ELSE 0 END AS brk
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+)
+SELECT conv_id,
+       CAST(min(turn_idx) AS BIGINT) AS start_idx,
+       CAST(max(turn_idx) AS BIGINT) AS end_idx,
+       CAST(count(*) AS BIGINT) AS run_len,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM g WHERE ind = 0
+GROUP BY conv_id, island
+HAVING count(*) >= 3
+""",
+)
+def zero_run_lowvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.format_string("conv_%08d", F.col("user_id").cast("int")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        "ts",
+        F.when(F.col("value") < 20, 0).otherwise(1).alias("ind"),
+    )
+    runs = zero_runs(t, value_col="ind", min_len=3)
+    return runs.select(
+        "conv_id",
+        F.col("start_idx").cast("long").alias("start_idx"),
+        F.col("end_idx").cast("long").alias("end_idx"),
+        F.col("run_len").cast("long").alias("run_len"),
+        "start_ts",
+        "end_ts",
+    )
+
+
+# ------------------------------------------------- W6: coherence flags
+
+@q(
+    "coherence_flags",
+    f"""
+WITH t AS ({EVENTS_AS_TRANSCRIPTS_NOGAP_SQL}),
+c AS (
+  SELECT conv_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) <= 300000000
+           AND (lead(epoch_us(ts)) OVER w - epoch_us(ts)) <= 300000000 AS is_coherent
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(CASE WHEN is_coherent THEN 1 END) AS BIGINT) AS n_coherent
+FROM c GROUP BY conv_id
+""",
+)
+def coherence_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = events_as_transcripts(load_events(spark, sf_dir), with_gaps=False)
+    flagged = with_coherence_flag(t, max_gap_ms=300_000)
+    return flagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count(F.when(F.col("is_coherent"), 1)).alias("n_coherent"),
+    )
+
+
+# --------------------------------------------------------- dedup/text
+
+@q(
+    "dedup_exact_docs",
+    """
+SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents)
+GROUP BY norm
+""",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs)
+
+
+@q(
+    "text_stats_docs",
+    """
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?"''`()\\[\\]{}]', '', 'g')) AS BIGINT) AS n_punct,
+       CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper
+FROM documents
+""",
+)
+def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_text_stats(docs).select(
+        "doc_id", "n_tokens", "n_chars_calc", "n_punct", "n_alpha", "n_upper"
+    )
+
+
+_STOP_EN = "the|and|of|to|in|is|that|for|with|was"
+
+
+@q(
+    "quality_score_docs",
+    f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?"''`()\\[\\]{{}}]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(regexp_extract_all(lower(text), '\\b({_STOP_EN})\\b', 0)) AS BIGINT) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_tokens, stop_hits,
+       CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars_calc, 1) AS DOUBLE) AS punct_ratio,
+       CAST(stop_hits AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stop_ratio,
+       (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.4
+       + (CASE WHEN CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars_calc, 1) AS DOUBLE) <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.3
+       + (CASE WHEN CAST(stop_hits AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.3
+         AS quality_score
+FROM s
+""",
+)
+def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_quality_score(docs).select(
+        "doc_id", "n_tokens", "stop_hits", "punct_ratio", "stop_ratio", "quality_score"
+    )
+
+
+@q(
+    "lang_id_docs",
+    """
+WITH h AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for|with|was)\\b', 0)) AS BIGINT) AS hits_en,
+    CAST(len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|mit|ein|zu|den)\\b', 0)) AS BIGINT) AS hits_de,
+    CAST(len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|pas|pour|que|une|dans)\\b', 0)) AS BIGINT) AS hits_fr,
+    CAST(len(regexp_extract_all(lower(text), '\\b(el|la|los|y|es|no|por|que|una|con)\\b', 0)) AS BIGINT) AS hits_es
+  FROM documents
+),
+r AS (
+  SELECT doc_id, hits_en, hits_de, hits_fr, hits_es, lg, hv,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hv DESC, lg DESC) AS rn
+  FROM h
+  CROSS JOIN LATERAL (VALUES ('en', hits_en), ('de', hits_de), ('fr', hits_fr), ('es', hits_es)) AS v(lg, hv)
+)
+SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+       CASE WHEN hv > 0 THEN lg ELSE 'und' END AS lang_pred
+FROM r WHERE rn = 1
+""",
+)
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_lang_id(docs).select(
+        "doc_id", "hits_en", "hits_de", "hits_fr", "hits_es", "lang_pred"
+    )
+
+
+# ------------------------------------------------------------ ANN
+
+@q(
+    "ann_topk_bruteforce",
+    """
+WITH q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+  FROM embeddings WHERE vec_id < 3
+),
+s AS (
+  SELECT q.q_id, e.vec_id AS nbr_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_vec)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.q_vec, q.q_vec))) AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.q_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, nbr_id) AS rnk
+  FROM s
+)
+SELECT q_id, CAST(rnk AS BIGINT) AS rnk, nbr_id FROM r WHERE rnk <= 5
+""",
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return brute_force_topk(emb, queries, k=5).select("q_id", "rnk", "nbr_id")
+
+
+@q("ann_topk_lsh")  # rows-only: bucketed ANN, recall measured in pytest
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return lsh_topk(emb, queries, dim=64, k=5, n_planes=8).select("q_id", "rnk", "nbr_id")
+
+
+# ------------------------------------- rows-only: hash/codec pipelines
+
+@q("minhash_neardup_docs")  # xxhash64-based; determinism covered in pytest
+def minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup(docs, threshold=0.5)
+
+
+@q("simhash_docs")
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(docs.limit(500))
+
+
+@q("fingerprint_docs")
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+@q("codec_chunks")
+def codec_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = events_as_transcripts(load_events(spark, sf_dir))
+    d = with_derived(t)
+    return encode_chunks(d, chunk_seconds=86400).select(
+        "conv_id", "chunk_start", "n", "ts_bytes", "latency_bytes", "token_bytes", "raw_bytes"
+    )
+
+
+@q("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = synth_assets(spark, 200)
+    dec = decode_assets(assets)
+    feats = extract_features(assets)
+    return (
+        dec.join(feats, "asset_id")
+        .select(
+            "asset_id",
+            "kind",
+            "dec_width",
+            "dec_height",
+            "dec_duration_ms",
+            "body_bytes",
+            F.round(F.element_at("features", 1), 9).alias("f0"),
+        )
+    )

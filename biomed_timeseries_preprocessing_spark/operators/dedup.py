@@ -1,0 +1,206 @@
+"""Deduplication operators over the documents table: exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Public-knowledge basis: Broder's MinHash/shingling (1997), Charikar's
+SimHash (2002), the standard LSH banding scheme. Everything is JVM-side
+DataFrame algebra (explode → agg → self-join) — no Python in the hot
+path; hash functions are Spark's xxhash64 seeded per-permutation, so
+results are deterministic across cluster sizes.
+
+Scale notes:
+- minhash signatures are k aggregations over exploded shingles — one
+  shuffle by doc_id, map-side partial min;
+- candidate generation self-joins on (band_idx, band_hash) — the join
+  key is the LSH bucket, so the shuffle is bounded by bucket sizes, and
+  AQE's skew-join splits a pathological bucket;
+- verification (exact Jaccard) touches only candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE = (1 << 61) - 1
+
+
+def normalized_text(text=None):
+    t = text if text is not None else F.col("text")
+    return F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
+
+
+# ------------------------------------------------------------- exact
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup on normalized text: one row per distinct
+    content, canonical id = min id, plus duplicate count."""
+    return (
+        docs.withColumn("_norm", normalized_text(F.col(text)))
+        .groupBy("_norm")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .drop("_norm")
+    )
+
+
+# ------------------------------------------------------------ shingles
+
+def word_shingles(docs: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-grams per document (the Broder shingling step),
+    built with JVM array functions: split → sliding windows via
+    transform over index sequence → explode."""
+    toks = F.split(normalized_text(F.col(text)), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------- minhash
+
+def minhash_signatures(shingled: DataFrame, k: int = 32) -> DataFrame:
+    """k-permutation MinHash: sig_i(doc) = min over shingles of
+    xxhash64(shingle, seed=i) folded into a Mersenne-prime field.
+    One groupBy(doc_id) with k min-aggregates (map-side combine)."""
+    aggs = [
+        F.min(F.pmod(F.xxhash64(F.col("shingle"), F.lit(i)), F.lit(MERSENNE))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return shingled.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidates(signatures: DataFrame, bands: int = 8, rows_per_band: int = 4) -> DataFrame:
+    """LSH banding: hash each band of the signature to a bucket; docs
+    sharing any (band, bucket) become a candidate pair (doc_a < doc_b)."""
+    k = bands * rows_per_band
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket")))
+    exploded = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = exploded.alias("a")
+    b_ = exploded.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(pairs: DataFrame, shingled: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only:
+    |A∩B| via join on shingle, |A∪B| = |A|+|B|−|A∩B|. Exact integer
+    counts; similarity as one double division at the end."""
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(shingled.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            shingled.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH bands → exact
+    Jaccard verification. Returns (doc_a, doc_b, jaccard) pairs."""
+    sh = word_shingles(docs, id_col, text, n)
+    sig = minhash_signatures(sh, k)
+    cand = lsh_candidates(sig, bands, k // bands)
+    return jaccard_verify(cand, sh, threshold).select("doc_a", "doc_b", "jaccard")
+
+
+# ------------------------------------------------------------- simhash
+
+def _bit_lit(b: int):
+    """int64 literal with only bit b set (bit 63 = sign bit → min long)."""
+    return F.lit(1 << b) if b < 63 else F.lit(-(1 << 63))
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text: str = "text", bits: int = 64) -> DataFrame:
+    """Charikar SimHash: per token, xxhash64(token) contributes ±1 to each
+    bit position weighted by term frequency; fingerprint bit b = 1 iff the
+    sum is positive. Pure explode + 64 conditional sums (JVM)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalized_text(F.col(text)), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(_bit_lit(b)) != 0, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(bits)
+    ]
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"s_{b}") > 0, _bit_lit(b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return sums.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_candidates(fps: DataFrame, chunk_bits: int = 16) -> DataFrame:
+    """Hamming-near pairs by banding the 64-bit fingerprint into 16-bit
+    chunks (pigeonhole: ≤3 differing bits ⇒ some chunk equal)."""
+    chunks = [
+        F.shiftrightunsigned(F.col("simhash"), i * chunk_bits)
+        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+        .alias(f"c_{i}")
+        for i in range(64 // chunk_bits)
+    ]
+    e = fps.select("doc_id", "simhash", *chunks)
+    out = None
+    for i in range(64 // chunk_bits):
+        a, b = e.alias("a"), e.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.c_{i}") == F.col(f"b.c_{i}")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        out = p if out is None else out.unionByName(p)
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return out.distinct().withColumn("hamming", ham)

@@ -1,0 +1,302 @@
+"""Interval/label operators: range joins, label policies, interval
+algebra, run detection.
+
+Reference parity map (SURVEY §2):
+- J2  window × label-interval range join          Window_Labeler.py:25-41,112-125
+- J3/P6 exclude-interval anti-join                Window_Labeler.py:51-62
+- A6  label policies: majority / softlabel /
+      any-overlap ("seizure")                     Window_Labeler.py:84-150
+- F7  label gap-fill (holes → Background,
+      adjacent same-label merge)                  Extract_Transform_Labeler.py:33-77
+- O5  interval union + overlap merge              Additional_Operator.py:90-115
+- P10 zero-run (flat-line) detector               Additional_Operator.py:61-73
+- W6  lookahead coherence flag                    Window_Labeler.py:43-82
+
+Scale notes: the range join buckets both sides by a coarse time bucket
+and equi-joins on (conv_id, coarse_bucket) with the residual range
+predicate — the classic Spark range-join decomposition; interval tables
+per conversation are tiny, so Catalyst/AQE broadcasts them when the dim
+side is globally small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# --------------------------------------------------------- O5: merge
+
+def merge_intervals(intervals: DataFrame, by_label: bool = False) -> DataFrame:
+    """Union + merge overlapping/adjacent [start_ts, end_ts) intervals per
+    conv (gaps-and-islands: island id = cumsum of 'gap before me').
+    Replaces the reference's 4-case nested-loop overlap logic."""
+    keys = ["conv_id"] + (["label"] if by_label else [])
+    w = Window.partitionBy(*keys).orderBy("start_ts", "end_ts")
+    run_max_end = F.max("end_ts").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(
+        run_max_end.isNull() | (F.col("start_ts") > run_max_end), 1
+    ).otherwise(0)
+    marked = intervals.withColumn("_new", is_new).withColumn(
+        "_island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return marked.groupBy(*keys, "_island").agg(
+        F.min("start_ts").alias("start_ts"), F.max("end_ts").alias("end_ts")
+    ).drop("_island")
+
+
+# --------------------------------------------------------- F7: gap fill
+
+def fill_label_gaps(
+    intervals: DataFrame,
+    spans: DataFrame,
+    default_label: str = "Background",
+) -> DataFrame:
+    """Fill holes between a conversation's labeled intervals with the
+    default label, back-fill head/tail to the conversation span, and merge
+    adjacent same-label intervals — Extract_Transform_Labeler.py:49-70
+    semantics, as window functions.
+
+    ``spans``: (conv_id, span_start, span_end) — the ``end_labelling``
+    analog. Intervals are assumed non-overlapping per conv (the
+    reference's are, post-merge)."""
+    w = Window.partitionBy("conv_id").orderBy("start_ts")
+    iv = (
+        intervals.join(spans, "conv_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_prev_end", F.lag("end_ts").over(w))
+    )
+    head_gap = iv.filter(
+        (F.col("_rn") == 1) & (F.col("start_ts") > F.col("span_start"))
+    ).select(
+        "conv_id",
+        F.col("span_start").alias("start_ts"),
+        F.col("start_ts").alias("end_ts"),
+        F.lit(default_label).alias("label"),
+    )
+    mid_gap = iv.filter(
+        F.col("_prev_end").isNotNull() & (F.col("_prev_end") < F.col("start_ts"))
+    ).select(
+        "conv_id",
+        F.col("_prev_end").alias("start_ts"),
+        F.col("start_ts").alias("end_ts"),
+        F.lit(default_label).alias("label"),
+    )
+    tail_gap = (
+        iv.groupBy("conv_id")
+        .agg(F.max("end_ts").alias("_max_end"), F.max("span_end").alias("span_end"))
+        .filter(F.col("_max_end") < F.col("span_end"))
+        .select(
+            "conv_id",
+            F.col("_max_end").alias("start_ts"),
+            F.col("span_end").alias("end_ts"),
+            F.lit(default_label).alias("label"),
+        )
+    )
+    filled = (
+        intervals.select("conv_id", "start_ts", "end_ts", "label")
+        .unionByName(head_gap)
+        .unionByName(mid_gap)
+        .unionByName(tail_gap)
+    )
+    # merge adjacent same-label runs (Extract_Transform_Labeler.py:66-68)
+    w2 = Window.partitionBy("conv_id").orderBy("start_ts")
+    runs = filled.withColumn(
+        "_new",
+        F.when(
+            (F.lag("label").over(w2) == F.col("label"))
+            & (F.lag("end_ts").over(w2) == F.col("start_ts")),
+            0,
+        ).otherwise(1),
+    ).withColumn("_island", F.sum("_new").over(w2.rowsBetween(Window.unboundedPreceding, 0)))
+    return runs.groupBy("conv_id", "label", "_island").agg(
+        F.min("start_ts").alias("start_ts"), F.max("end_ts").alias("end_ts")
+    ).drop("_island")
+
+
+# ----------------------------------------------- J2: bucketed range join
+
+def range_join_points(
+    points: DataFrame,
+    intervals: DataFrame,
+    coarse_seconds: int = 3600,
+    point_ts: str = "ts",
+    how: str = "inner",
+) -> DataFrame:
+    """Join point rows to containing intervals: ts ∈ [start_ts, end_ts).
+
+    Decomposition for scale: explode each interval to the coarse buckets
+    it spans (intervals are short relative to coarse_seconds on real
+    data), equi-join on (conv_id, coarse_bucket), then apply the residual
+    range predicate — turns an O(N·M) theta join into a hash join."""
+    us = coarse_seconds * 1_000_000
+    pb = points.withColumn("_cb", F.floor(F.unix_micros(F.col(point_ts)) / us))
+    ib = intervals.withColumn(
+        "_cb",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros("start_ts") / us),
+                # end is exclusive: a zero-length or bucket-aligned end
+                # does not reach the next bucket
+                F.floor((F.unix_micros("end_ts") - 1) / us),
+            )
+        ),
+    )
+    cond = (
+        (pb["conv_id"] == ib["conv_id"])
+        & (pb["_cb"] == ib["_cb"])
+        & (pb[point_ts] >= ib["start_ts"])
+        & (pb[point_ts] < ib["end_ts"])
+    )
+    joined = pb.join(ib, cond, how)
+    return joined.select(
+        *[pb[c] for c in points.columns],
+        *[ib[c] for c in intervals.columns if c not in ("conv_id", "_cb")],
+    )
+
+
+def overlap_join_windows(
+    windows: DataFrame, intervals: DataFrame, coarse_seconds: int = 3600
+) -> DataFrame:
+    """Join window rows [win_start, win_end) to every overlapping interval,
+    adding the exact overlap duration in µs (Window_Labeler.py:112-125:
+    ``max(start, lo), min(end, hi)``)."""
+    us = coarse_seconds * 1_000_000
+    wb = windows.withColumn(
+        "_cb",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros("win_start") / us),
+                F.floor((F.unix_micros("win_end") - 1) / us),
+            )
+        ),
+    )
+    ib = intervals.withColumn(
+        "_cb",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros("start_ts") / us),
+                F.floor((F.unix_micros("end_ts") - 1) / us),
+            )
+        ),
+    )
+    cond = (
+        (wb["conv_id"] == ib["conv_id"])
+        & (wb["_cb"] == ib["_cb"])
+        & (wb["win_start"] < ib["end_ts"])
+        & (ib["start_ts"] < wb["win_end"])
+    )
+    overlap_us = F.least(F.unix_micros(ib["end_ts"]), F.unix_micros(wb["win_end"])) - F.greatest(
+        F.unix_micros(ib["start_ts"]), F.unix_micros(wb["win_start"])
+    )
+    joined = wb.join(ib, cond, "inner").withColumn("overlap_us", overlap_us)
+    # an interval spanning k coarse buckets matches the same window k
+    # times — dedup on the natural key before aggregating
+    return joined.select(
+        *[wb[c] for c in windows.columns],
+        ib["start_ts"],
+        ib["end_ts"],
+        ib["label"],
+        "overlap_us",
+    ).dropDuplicates([*windows.columns, "start_ts", "end_ts", "label"])
+
+
+# --------------------------------------------------- A6: label policies
+
+def label_windows_majority(overlaps: DataFrame, win_keys: list[str]) -> DataFrame:
+    """Duration-weighted argmax label per window; ties break to the
+    lexicographically smallest label (deterministic, vs the reference's
+    first-index argmax)."""
+    per_label = overlaps.groupBy(*win_keys, "label").agg(
+        F.sum("overlap_us").alias("dur_us")
+    )
+    return per_label.groupBy(*win_keys).agg(
+        F.min_by("label", F.struct(-F.col("dur_us"), F.col("label"))).alias("label"),
+        F.sum("dur_us").alias("total_us"),
+    )
+
+
+def label_windows_soft(overlaps: DataFrame, win_keys: list[str]) -> DataFrame:
+    """Normalized duration distribution per window (softlabels policy):
+    one row per (window, label) with weight = dur/total."""
+    per_label = overlaps.groupBy(*win_keys, "label").agg(
+        F.sum("overlap_us").alias("dur_us")
+    )
+    w = Window.partitionBy(*win_keys)
+    return per_label.withColumn(
+        "weight", F.col("dur_us").cast("double") / F.sum("dur_us").over(w).cast("double")
+    )
+
+
+def label_windows_any(overlaps: DataFrame, win_keys: list[str], positive_label) -> DataFrame:
+    """Any-overlap ⇒ positive (the 'seizure' policy): window is positive
+    iff any overlapping interval carries the positive label."""
+    return overlaps.groupBy(*win_keys).agg(
+        F.max((F.col("label") == positive_label).cast("int")).alias("is_positive"),
+        F.sum(
+            F.when(F.col("label") == positive_label, F.col("overlap_us")).otherwise(0)
+        ).alias("positive_us"),
+    )
+
+
+# ------------------------------------------- J3/P6: exclude anti-join
+
+def anti_join_excludes(
+    points: DataFrame, excludes: DataFrame, coarse_seconds: int = 3600, point_ts: str = "ts"
+) -> DataFrame:
+    """Drop points falling inside any exclude interval (left-anti range
+    join) — Window_Labeler.py:51-62 without its ±window slack (callers
+    widen intervals instead, which is explicit)."""
+    matched = range_join_points(
+        points, excludes.select("conv_id", "start_ts", "end_ts"), coarse_seconds, point_ts
+    ).select(*points.columns).distinct()
+    return points.join(matched, points.columns, "left_anti")
+
+
+# ------------------------------------------------- P10: zero runs
+
+def zero_runs(
+    turns: DataFrame, value_col: str = "token_count", min_len: int = 16
+) -> DataFrame:
+    """Runs of ≥ min_len consecutive zero-valued turns per conv →
+    exclude intervals (Additional_Operator.py:61-73's edge detection,
+    as gaps-and-islands). Returns (conv_id, start_idx, end_idx, run_len,
+    start_ts, end_ts)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    is_zero = (F.col(value_col) == 0).cast("int")
+    marked = turns.withColumn("_z", is_zero).withColumn(
+        "_new",
+        F.when((F.lag("_z").over(w).isNull()) | (F.lag("_z").over(w) != F.col("_z")), 1).otherwise(0),
+    ).withColumn("_island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    runs = (
+        marked.filter(F.col("_z") == 1)
+        .groupBy("conv_id", "_island")
+        .agg(
+            F.min("turn_idx").alias("start_idx"),
+            F.max("turn_idx").alias("end_idx"),
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+        )
+        .drop("_island")
+    )
+    return runs.filter(F.col("run_len") >= min_len)
+
+
+# ------------------------------------------------- W6: coherence flag
+
+def with_coherence_flag(turns: DataFrame, max_gap_ms: int = 60_000) -> DataFrame:
+    """init/coherence flag per turn: True iff the previous and next turns
+    exist within max_gap_ms (Window_Labeler.py:43-82's neighbor-lookahead
+    'is this window temporally coherent' bit, per turn)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev_gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    next_gap = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+    return turns.withColumn(
+        "is_coherent",
+        (prev_gap.isNotNull() & (prev_gap <= max_gap_ms * 1000))
+        & (next_gap.isNotNull() & (next_gap <= max_gap_ms * 1000)),
+    )

@@ -1,0 +1,118 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``brute_force_topk``: exact cosine/dot top-k against a (small) query
+  set — broadcast the queries, JVM-side ``zip_with`` + in-order
+  ``aggregate`` for the dot product (sequential reduction ⇒ identical
+  float result on any partitioning), window row_number for top-k.
+- ``lsh_topk``: the scale path — random-hyperplane LSH (Charikar):
+  deterministic ±1 hyperplanes, signature = sign bits, candidates share
+  the query's bucket, exact re-rank on candidates only. At 100 TB the
+  bucket join replaces the full cross product.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    """In-order double-precision dot product (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k: queries (q_id, q_vec) broadcast against all rows.
+    Ties break on neighbor id (deterministic)."""
+    q = F.broadcast(queries.select(F.col("q_id"), F.col("q_vec")))
+    joined = embeddings.select(F.col(id_col).alias("nbr_id"), F.col(vec_col)).crossJoin(q)
+    score = _dot(F.col(vec_col), F.col("q_vec"))
+    if metric == "cosine":
+        score = score / (_norm(F.col(vec_col)) * _norm(F.col("q_vec")))
+    scored = joined.withColumn("score", score).filter(F.col("nbr_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", F.col("rnk").cast("long").alias("rnk"), "nbr_id", "score")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from SHA-256 of (seed, plane, dim) —
+    no RNG state, identical on every machine."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.sha256(f"{seed}:{p}:{d}".encode()).digest()[0]
+            row.append(1 if h % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def with_lsh_signature(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int = 16, seed: int = 42
+) -> DataFrame:
+    """Signature = integer whose bit p is sign(v · plane_p) — computed
+    with zip_with against literal ±1 arrays (JVM, no UDF)."""
+    sig = F.lit(0)
+    for p, plane in enumerate(hyperplanes(dim, n_planes, seed)):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        d = _dot(F.col(vec_col), lit_plane)
+        sig = sig + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return df.withColumn("lsh_sig", sig.cast("long"))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed ANN: candidates = rows whose signature equals the query's
+    (one equi-join on the bucket), exact cosine re-rank on candidates.
+    Recall < 1 by construction; the bench compares against brute force."""
+    e = with_lsh_signature(
+        embeddings.select(F.col(id_col).alias("nbr_id"), F.col(vec_col)), vec_col, dim, n_planes
+    )
+    q = with_lsh_signature(queries.select("q_id", F.col("q_vec").alias(vec_col)), vec_col, dim, n_planes)
+    q = F.broadcast(q.select("q_id", F.col(vec_col).alias("q_vec"), F.col("lsh_sig").alias("q_sig")))
+    cand = e.join(q, F.col("lsh_sig") == F.col("q_sig")).filter(F.col("nbr_id") != F.col("q_id"))
+    score = _dot(F.col(vec_col), F.col("q_vec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("q_vec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("nbr_id"))
+    return (
+        cand.withColumn("score", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", F.col("rnk").cast("long").alias("rnk"), "nbr_id", "score")
+    )

@@ -1,0 +1,121 @@
+"""Dedup / text-analysis / similarity operator tests: known-answer cases
+plus determinism across partitionings (the engine's scaling guarantee)."""
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from biomed_timeseries_preprocessing_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    simhash,
+    simhash_candidates,
+)
+from biomed_timeseries_preprocessing_spark.operators.similarity import brute_force_topk, lsh_topk
+from biomed_timeseries_preprocessing_spark.operators.text import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+)
+
+
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+        (3, "der hund läuft und die katze ist nicht mit dem ball zu sehen"),
+        (4, "completely different content about spark query engines and shuffles"),
+        (5, "  The  QUICK brown fox jumps over the lazy dog near the river bank today "),  # ws/case dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(docs_df(spark)).collect()
+    groups = {r["canonical_id"]: r["dup_count"] for r in out}
+    assert groups[0] == 3  # docs 0, 1, 5 normalize identically
+    assert groups[2] == 1 and groups[3] == 1 and groups[4] == 1
+
+
+def test_minhash_finds_near_dup(spark):
+    pairs = minhash_dedup(docs_df(spark), threshold=0.5).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (0, 1) in got and (0, 5) in got and (1, 5) in got  # exact dups
+    assert (0, 2) in got or (1, 2) in got  # near dup via one-word change
+    assert all(4 not in p for p in got)  # unrelated doc never pairs
+    for r in pairs:
+        assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_simhash_properties(spark):
+    fps = simhash(docs_df(spark))
+    vals = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    assert vals[0] == vals[1] == vals[5]  # identical normalized text
+    ham_near = bin((vals[0] ^ vals[2]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((vals[0] ^ vals[4]) & ((1 << 64) - 1)).count("1")
+    assert ham_near < ham_far
+    cand = simhash_candidates(fps).collect()
+    assert any(r["doc_a"] == 0 and r["doc_b"] == 1 and r["hamming"] == 0 for r in cand)
+
+
+def test_dedup_deterministic_across_partitioning(spark):
+    d = docs_df(spark)
+    a = sorted(map(tuple, minhash_dedup(d.repartition(7), threshold=0.5).collect()))
+    b = sorted(map(tuple, minhash_dedup(d.repartition(2), threshold=0.5).collect()))
+    assert a == b
+
+
+def test_lang_id_and_quality(spark):
+    out = {r["doc_id"]: r for r in with_lang_id(docs_df(spark)).collect()}
+    assert out[0]["lang_pred"] == "en"
+    assert out[3]["lang_pred"] == "de"
+    q = {r["doc_id"]: r for r in with_quality_score(docs_df(spark)).collect()}
+    assert q[0]["quality_score"] == 1.0  # long enough, low punct, stopwords present
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(df).collect()}
+    assert fp[0] == fp[2] and fp[0] != fp[1]
+
+
+def emb_df(spark, n=50, dim=8):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), vecs
+
+
+def test_bruteforce_topk_matches_numpy(spark):
+    df, vecs = emb_df(spark)
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = brute_force_topk(df, queries, k=3).collect()
+    v = vecs.astype(np.float64)
+    sims = (v @ v.T) / (np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :])
+    for qid in (0, 1):
+        order = [i for i in np.argsort(-sims[qid]) if i != qid][:3]
+        mine = [r["nbr_id"] for r in sorted(got, key=lambda r: r["rnk"]) if r["q_id"] == qid]
+        assert mine == order
+
+
+def test_lsh_topk_subset_of_bruteforce_space(spark):
+    df, _ = emb_df(spark, n=200, dim=8)
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = brute_force_topk(df, queries, k=5)
+    approx = lsh_topk(df, queries, dim=8, k=5, n_planes=4)
+    # recall of bucketed ANN vs exact (4 planes ⇒ 1/16 of space per bucket)
+    e = {(r["q_id"], r["nbr_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["nbr_id"]) for r in approx.collect()}
+    assert len(a) > 0
+    assert len(a & e) / len(e) >= 0.2  # sanity floor, exact value is data-dependent
+    # determinism
+    a2 = {(r["q_id"], r["nbr_id"]) for r in lsh_topk(df, queries, dim=8, k=5, n_planes=4).collect()}
+    assert a == a2
