@@ -1,0 +1,79 @@
+"""Spectral view: STFT over regular per-conversation series.
+
+Reference parity: ``create_sfft_windows`` (``edf_reader.py:248-395``) —
+frames of 2·rate samples, hop = rate, hamming window, |Z| clamped at
+1e-5 then 20·log10 (``edf_reader.py:321-331``). The reference runs
+scipy.signal.stft per file; this engine runs the same math as a
+**vectorized numpy kernel inside applyInPandas** per (conv_id[, chunk])
+group — Arrow batches in, no scipy dependency (hamming + rfft are pure
+numpy), no per-row Python.
+
+Input contract: a *regular* series (conv_id, idx, value) — e.g. the 1m
+tier's cnt/mean per minute after gap-fill, the transcript analog of the
+reference's fixed-rate signal. The "two aligned views" invariant
+(edf_reader.py:362-363) holds by construction: time windows and STFT
+frames both derive from the same integer idx grid.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+STFT_SCHEMA = "conv_id string, frame_idx int, freq_bin int, power_db double"
+
+
+def stft_frames_np(x: np.ndarray, frame: int, hop: int) -> np.ndarray:
+    """Reference math, vectorized: hamming-windowed frames → rfft →
+    |Z| clamp 1e-5 → 20·log10. Returns (n_frames, frame//2+1)."""
+    n = (len(x) - frame) // hop + 1 if len(x) >= frame else 0
+    if n <= 0:
+        return np.zeros((0, frame // 2 + 1))
+    idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
+    frames = x[idx] * np.hamming(frame)[None, :]
+    z = np.abs(np.fft.rfft(frames, axis=1))
+    z = np.maximum(z, 1e-5)  # edf_reader.py:326-328's clamp-then-log
+    return 20.0 * np.log10(z)
+
+
+def stft_series(
+    series: DataFrame, frame: int = 64, hop: int = 32, value_col: str = "value"
+) -> DataFrame:
+    """Grouped-map STFT: one output row per (conv, frame, freq_bin)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("idx", kind="mergesort")
+        conv = pdf["conv_id"].iloc[0]
+        p = stft_frames_np(pdf[value_col].to_numpy(dtype=np.float64), frame, hop)
+        nf, nb = p.shape
+        if nf == 0:
+            return pd.DataFrame(columns=["conv_id", "frame_idx", "freq_bin", "power_db"])
+        return pd.DataFrame(
+            {
+                "conv_id": conv,
+                "frame_idx": np.repeat(np.arange(nf, dtype=np.int32), nb),
+                "freq_bin": np.tile(np.arange(nb, dtype=np.int32), nf),
+                "power_db": p.ravel(),
+            }
+        )
+
+    return series.select("conv_id", "idx", value_col).groupBy("conv_id").applyInPandas(
+        kernel, STFT_SCHEMA
+    )
+
+
+def per_bin_stats(stft: DataFrame) -> DataFrame:
+    """Per-frequency-bin mean/std over all frames — the reference's
+    per-bin STFT metrics (``edf_reader.py:385-390``, vectors of length
+    nperseg/2+1 in ``File_Struct.py:343``)."""
+    from pyspark.sql import functions as F
+
+    return stft.groupBy("freq_bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("power_db").alias("mean_db"),
+        F.stddev_samp("power_db").alias("std_db"),
+    )
