@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from biomed_timeseries_preprocessing_spark import driver_queries  # noqa: E402
 from biomed_timeseries_preprocessing_spark import driver_queries_ext  # noqa: E402,F401  (registers part-2 queries)
 from biomed_timeseries_preprocessing_spark import driver_queries_ext2  # noqa: E402,F401  (part-3 queries)
+from biomed_timeseries_preprocessing_spark import driver_queries_ext3  # noqa: E402,F401  (part-4 queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:
