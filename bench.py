@@ -80,7 +80,10 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
 
-    work = tempfile.mkdtemp(prefix="bench_rollup_")
+    # tmpfs when available: the sandbox disk swings 5x in throughput and
+    # the bench measures engine compute (see BENCH/BASELINE.md)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="bench_rollup_", dir=base)
     try:
         # setup (not timed): materialize the transcript lake
         n_convs = max(10, int(sf * 10_000))

@@ -78,3 +78,40 @@ def test_spark_chunk_encode_roundtrip(spark, small_transcripts):
     assert np.array_equal(dec["token_count"], sel["token_count"].astype("int64").to_numpy())
     # compression accounting is populated
     assert all(r["raw_bytes"] > 0 for r in rows)
+
+
+def test_batch_encoders_byte_identical_to_single():
+    """codec_batch blobs must equal codec.py per-block blobs exactly."""
+    import numpy as np
+
+    from biomed_timeseries_preprocessing_spark.functions.codec_batch import (
+        encode_dod_batch,
+        encode_xor_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    # blocks of tricky lengths incl. 1, 2, 3 and bigger
+    lens = [1, 2, 3, 4, 25, 7, 1, 300, 2]
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    total = sum(lens)
+    ints = rng.choice(
+        np.array([0, 1, -1, 5, 123456, 10**12, -(10**9)], dtype=np.int64), size=total
+    ).astype(np.int64)
+    got = encode_dod_batch(ints, starts)
+    for b, (s, L) in enumerate(zip(starts, lens)):
+        want = encode_dod(ints[s : s + L])
+        assert got[b] == want, f"dod block {b} differs"
+        assert np.array_equal(decode_dod(got[b]), ints[s : s + L])
+
+    floats = rng.normal(size=total)
+    floats[::5] = np.nan
+    floats[1::7] = 0.0
+    floats[2::7] = floats[1::7][: len(floats[2::7])]
+    got = encode_xor_batch(floats, starts)
+    for b, (s, L) in enumerate(zip(starts, lens)):
+        want = encode_xor(floats[s : s + L])
+        assert got[b] == want, f"xor block {b} differs"
+        out = decode_xor(got[b])
+        assert np.array_equal(
+            out.view(np.uint64), floats[s : s + L].view(np.uint64)
+        )
