@@ -330,3 +330,40 @@ def decode_chunk_row(row) -> dict[str, np.ndarray]:
         "latency_ms": decode_xor(bytes(row["latency_blob"])),
         "token_count": decode_dod(bytes(row["token_blob"])),
     }
+
+
+DECODED_TURNS_SCHEMA = "conv_id string, ts timestamp, latency_ms double, token_count long"
+
+
+def decode_chunks_df(chunks):
+    """Distributed decompression scan: blobs → per-turn rows.
+
+    Decode of prefix codes is inherently sequential per block (the read
+    path / verification grade); each Arrow batch of chunk rows expands to
+    its turns in one mapInPandas pass. latency comes back as float64 with
+    NaN for the conversation-head NULL (bit-preserved by the XOR codec).
+    """
+
+    def decode_partition(batches):
+        for pdf in batches:
+            frames = []
+            for _, r in pdf.iterrows():
+                ts_us = decode_dod(bytes(r["ts_blob"]))
+                lat = decode_xor(bytes(r["latency_blob"]))
+                tok = decode_dod(bytes(r["token_blob"]))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "conv_id": r["conv_id"],
+                            "ts": pd.to_datetime(ts_us, unit="us"),
+                            "latency_ms": lat,
+                            "token_count": tok,
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return chunks.select("conv_id", "ts_blob", "latency_blob", "token_blob").mapInPandas(
+        decode_partition, DECODED_TURNS_SCHEMA
+    )

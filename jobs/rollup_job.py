@@ -31,7 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from biomed_timeseries_preprocessing_spark.functions.codec import encode_chunks  # noqa: E402
 from biomed_timeseries_preprocessing_spark.operators.derive import with_derived  # noqa: E402
+from biomed_timeseries_preprocessing_spark.operators.gapfill import gapfill  # noqa: E402
 from biomed_timeseries_preprocessing_spark.operators.rollup import (  # noqa: E402
     TIER_ORDER,
     rollup_from_turns,
@@ -45,6 +47,9 @@ from biomed_timeseries_preprocessing_spark.plans.lineage import (  # noqa: E402
 )
 from biomed_timeseries_preprocessing_spark.session import get_spark  # noqa: E402
 from biomed_timeseries_preprocessing_spark.sources.catalog import get_catalog  # noqa: E402
+from biomed_timeseries_preprocessing_spark.sources.ingest import (  # noqa: E402
+    text_equality_violations,
+)
 from biomed_timeseries_preprocessing_spark.sources.synth import synth_transcripts  # noqa: E402
 
 
@@ -58,6 +63,17 @@ def parse_args(argv=None):
     p.add_argument("--tiers", default=",".join(TIER_ORDER))
     p.add_argument("--master", default=None)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument(
+        "--gapfill",
+        action="store_true",
+        help="materialize+fill missing turns before derive; enforces the "
+        "per-turn text-equality invariant (job fails loudly on violation)",
+    )
+    p.add_argument(
+        "--codec-chunks",
+        action="store_true",
+        help="also write compressed per-(conv, hour) blobs (codec table)",
+    )
     p.add_argument(
         "--fail-after-buckets",
         type=int,
@@ -94,10 +110,40 @@ def run(args, spark=None) -> dict:
         if args.fail_after_buckets and i >= args.fail_after_buckets:
             raise RuntimeError(f"injected failure before bucket {b} (test hook)")
         t0 = time.time()
+        persisted = []
         part = raw.filter(bucket_of(F.col("conv_id"), args.buckets) == b)
-        derived = with_derived(part)
+        if args.gapfill:
+            filled = gapfill(part).persist()
+            persisted.append(filled)
+            violations = text_equality_violations(
+                part, filled.filter(~F.col("is_gap_filled"))
+            ).count()
+            if violations:
+                raise RuntimeError(
+                    f"text-equality invariant violated for {violations} turns "
+                    f"in bucket {b} — refusing to commit (input_hint contract)"
+                )
+            n_filled = filled.filter(F.col("is_gap_filled")).count()
+            log.commit(
+                run_id=args.run_id,
+                stage="gapfill",
+                partition_key=str(b),
+                rows_in=part.count(),
+                rows_out=n_filled,
+                min_ts=None,
+                max_ts=None,
+                checksum=0,
+                wall_ms=int((time.time() - t0) * 1000),
+            )
+            work_turns = filled.drop("is_gap_filled")
+        else:
+            work_turns = part
+        derived = with_derived(work_turns)
+        if args.codec_chunks:
+            chunks = encode_chunks(derived)
+            catalog.overwrite_partitions("codec_chunks", chunks, {"bucket": b})
         rows_in = derived.count()
-        df, persisted = None, []
+        df = None
         for tier in tiers:
             df = rollup_from_turns(derived, tier) if df is None else rollup_merge(df, tier)
             df = df.persist()  # next tier merges from this materialized one

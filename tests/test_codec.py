@@ -115,3 +115,32 @@ def test_batch_encoders_byte_identical_to_single():
         assert np.array_equal(
             out.view(np.uint64), floats[s : s + L].view(np.uint64)
         )
+
+
+def test_table_level_roundtrip(spark, small_transcripts):
+    """encode_chunks → decode_chunks_df reproduces every turn exactly."""
+    import pandas as pd
+
+    from biomed_timeseries_preprocessing_spark.functions.codec import decode_chunks_df
+    from biomed_timeseries_preprocessing_spark.operators.derive import with_derived
+
+    derived = with_derived(small_transcripts)
+    back = (
+        decode_chunks_df(encode_chunks(derived, 3600))
+        .toPandas()
+        .sort_values(["conv_id", "ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    want = (
+        derived.select("conv_id", "ts", "latency_ms", "token_count")
+        .toPandas()
+        .sort_values(["conv_id", "ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(back) == len(want)
+    assert (back["conv_id"] == want["conv_id"]).all()
+    assert (back["ts"].astype("datetime64[us]") == want["ts"].astype("datetime64[us]")).all()
+    lat_b = back["latency_ms"].to_numpy()
+    lat_w = want["latency_ms"].astype("float64").to_numpy()
+    assert np.array_equal(lat_b.view("uint64"), lat_w.view("uint64"))
+    assert (back["token_count"].to_numpy() == want["token_count"].to_numpy()).all()

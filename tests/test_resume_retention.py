@@ -26,6 +26,8 @@ def job_args(**kw):
         master=None,
         no_resume=False,
         fail_after_buckets=0,
+        gapfill=False,
+        codec_chunks=False,
     )
     base.update(kw)
     return argparse.Namespace(**base)
@@ -113,3 +115,26 @@ def test_salted_rollup_bit_identical(spark, small_transcripts):
     pd.testing.assert_frame_equal(
         plain[sorted(plain.columns)], salted[sorted(salted.columns)], check_exact=True
     )
+
+
+def test_job_with_gapfill_and_codec(spark, tmp_path):
+    """--gapfill enforces the text-equality invariant and commits a
+    gapfill lineage stage; --codec-chunks writes the compressed table."""
+    args = job_args(
+        warehouse=str(tmp_path / "wh"), run_id="g1", buckets=2, tiers="1m,1h"
+    )
+    args.gapfill = True
+    args.codec_chunks = True
+    stats = run_job(args, spark=spark)
+    assert stats["buckets_run"] == 2
+    cat = LocalSnapshotCatalog(str(tmp_path / "wh"))
+    lin = cat.read(spark, "lineage").toPandas()
+    assert set(lin["stage"]) == {"gapfill", "rollup_1m", "rollup_1h"}
+    gap_rows = lin[lin.stage == "gapfill"]
+    assert len(gap_rows) == 2 and gap_rows["rows_out"].sum() > 0
+    chunks = cat.read(spark, "codec_chunks")
+    assert chunks.count() > 0
+    # compressed strictly smaller than raw for the ts series
+    import pyspark.sql.functions as F
+    sums = chunks.select(F.sum("ts_bytes").alias("c"), F.sum("raw_bytes").alias("r")).collect()[0]
+    assert sums["c"] < sums["r"]
