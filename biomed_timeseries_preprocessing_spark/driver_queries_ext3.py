@@ -81,3 +81,40 @@ def corr_value_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (dbl("n") * dbl("syy") - dbl("sy") * dbl("sy"))
     )
     return s.select("user_id", "n", corr.alias("corr_xy"))
+
+
+@q(
+    "latency_percentiles",
+    """
+WITH d AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000 AS yl
+  FROM events
+)
+SELECT user_id,
+       quantile_cont(yl, 0.5) AS p50,
+       quantile_cont(yl, 0.95) AS p95,
+       CAST(quantile_disc(yl, 0.5) AS BIGINT) AS p50_disc
+FROM d WHERE yl IS NOT NULL GROUP BY user_id
+""",
+)
+def latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per user (A9/A10 family): Spark's exact
+    `percentile` (linear interpolation, same definition as DuckDB
+    quantile_cont) — NOT approx_percentile, so the oracle check is
+    bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "user_id",
+        F.floor(
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 1000
+        ).cast("long").alias("yl"),
+    ).filter(F.col("yl").isNotNull())
+    return d.groupBy("user_id").agg(
+        F.percentile("yl", 0.5).alias("p50"),
+        F.percentile("yl", 0.95).alias("p95"),
+        F.expr("percentile_approx(yl, 0.5, 2147483647)").cast("long").alias("p50_disc"),
+    )
