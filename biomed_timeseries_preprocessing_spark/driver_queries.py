@@ -209,11 +209,17 @@ w AS (
     fwd AS (PARTITION BY conv_id ORDER BY turn_idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
-       role_f AS role,
+       CASE WHEN is_gap_filled THEN role_f ELSE role END AS role,
        CASE WHEN is_gap_filled THEN '' ELSE text END AS text,
        CASE WHEN is_gap_filled THEN tool_f ELSE tool END AS tool,
+       -- floor division (DuckDB // truncates): subtract the non-negative
+       -- remainder first so decreasing timestamps floor like Spark/pandas
        CASE WHEN is_gap_filled
-            THEN make_timestamp(prev_us + ((next_us - prev_us) * (turn_idx - prev_idx)) // (next_idx - prev_idx))
+            THEN make_timestamp(prev_us + (
+              (next_us - prev_us) * (turn_idx - prev_idx)
+              - (((next_us - prev_us) * (turn_idx - prev_idx)) % (next_idx - prev_idx)
+                 + (next_idx - prev_idx)) % (next_idx - prev_idx)
+            ) // (next_idx - prev_idx))
             ELSE ts END AS ts,
        is_gap_filled
 FROM w

@@ -386,7 +386,9 @@ def minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("simhash_docs")
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash(docs.limit(500))
+    # deterministic subset (limit() without ordering would pick arbitrary
+    # rows once documents exceeds 500)
+    return simhash(docs.filter(F.col("doc_id") < 500))
 
 
 @q("fingerprint_docs")

@@ -269,7 +269,11 @@ def encode_chunks(derived, chunk_seconds: int = 3600):
         F.timestamp_micros(F.floor(F.unix_micros(F.col("ts")) / us).cast("long") * us),
     ).select("conv_id", "chunk_start", "ts", "turn_idx", "latency_ms", "token_count")
 
-    part = with_chunk.repartition("conv_id").sortWithinPartitions(
+    # partition by (conv_id, chunk_start) — encoding only needs per-chunk
+    # locality, so a hot conversation's history spreads across tasks
+    # instead of landing in one; order within each chunk is restored by
+    # the sort, so blobs are byte-identical to conv_id-only partitioning
+    part = with_chunk.repartition("conv_id", "chunk_start").sortWithinPartitions(
         "conv_id", "chunk_start", "ts", "turn_idx"
     )
 

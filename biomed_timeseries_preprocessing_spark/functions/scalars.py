@@ -95,6 +95,16 @@ def asof_join(
     payload, keep fact rows — one shuffle, no range explosion.
     ``tolerance_us`` drops matches older than the tolerance."""
     dim_cols = dim_cols or [c for c in dims.columns if c not in (key, dim_ts)]
+    # Deterministic tie-break: several dim rows may share (key, dim_ts);
+    # last(ignoreNulls) over a window ordered only by (_t, _side) would
+    # then pick whichever physically sorts last (partition-order
+    # dependent). Pre-reduce dims to exactly one row per (key, dim_ts) —
+    # the max struct of the payload — so the fill is order-independent.
+    dims = (
+        dims.groupBy(key, dim_ts)
+        .agg(F.max(F.struct(*[F.col(c) for c in dim_cols])).alias("_payload"))
+        .select(key, dim_ts, *[F.col(f"_payload.{c}").alias(c) for c in dim_cols])
+    )
     f = facts.withColumn("_t", F.unix_micros(F.col(fact_ts))).withColumn(
         "_side", F.lit(1)
     )

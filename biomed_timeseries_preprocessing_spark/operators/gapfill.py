@@ -11,11 +11,13 @@ MNE reader maps missing channels to ``-1`` sentinels
   no head/tail extrapolation, mirroring the reference's refusal to invent
   data before the first interval);
 - ``ts`` is **linearly interpolated** between the previous and next
-  present turns using exact integer µs arithmetic (``DIV`` truncation,
-  positive operands → floor) so results are bit-identical across
-  partitionings and match the pandas oracle;
-- ``role``/``tool`` are **forward-filled** (``last(..., ignoreNulls)``
-  over the stable order);
+  present turns using exact integer µs arithmetic with explicit FLOOR
+  semantics (pmod-based floordiv — matches DuckDB/pandas ``//`` even when
+  timestamps decrease within a conversation) so results are bit-identical
+  across partitionings and match the oracles;
+- ``role``/``tool`` of **gap rows only** are forward-filled
+  (``last(..., ignoreNulls)`` over the stable order); present rows keep
+  their own values, including NULLs the schema allows;
 - ``text`` of filled turns is a configurable default (NULL-free so the
   per-turn text-equality invariant can distinguish filled rows via
   ``is_gap_filled`` instead of sentinel values).
@@ -65,11 +67,17 @@ def gapfill(turns: DataFrame, default_text: str = "") -> DataFrame:
         .withColumn("_next_idx", next_idx)
         .withColumn(
             "ts",
+            # floor division via pmod (Spark DIV truncates toward zero;
+            # DuckDB/pandas // floor) so non-monotone ts per conversation
+            # still interpolates identically to the oracles. The step
+            # denominator (next_idx - prev_idx) is always positive.
             F.when(F.col("is_gap_filled"), F.timestamp_micros(F.col("_prev_us") + F.expr(
-                "(_next_us - _prev_us) * (turn_idx - _prev_idx) DIV (_next_idx - _prev_idx)"
+                "((_next_us - _prev_us) * (turn_idx - _prev_idx)"
+                " - pmod((_next_us - _prev_us) * (turn_idx - _prev_idx), _next_idx - _prev_idx))"
+                " DIV (_next_idx - _prev_idx)"
             ))).otherwise(F.col("ts")),
         )
-        .withColumn("role", F.last("role", ignorenulls=True).over(w_back))
+        .withColumn("role", F.when(F.col("is_gap_filled"), F.last("role", ignorenulls=True).over(w_back)).otherwise(F.col("role")))
         .withColumn("tool", F.when(F.col("is_gap_filled"), F.last("tool", ignorenulls=True).over(w_back)).otherwise(F.col("tool")))
         .withColumn(
             "text",

@@ -55,7 +55,8 @@ def expire_rewrite(
     before = df.count()
     kept = df.filter(F.col(ts_col) >= F.lit(older_than))
     n_kept = kept.count()
-    catalog.overwrite(table, kept)
+    if n_kept < before:  # skip the commit when there is nothing to expire
+        catalog.overwrite(table, kept)
     return before - n_kept
 
 
@@ -76,10 +77,14 @@ def apply_retention(
         cutoff = now - dt.timedelta(seconds=horizon)
         table = f"{table_prefix}{tier}"
         try:
-            n = expire_files(catalog, table, cutoff)
-            if n == 0:
-                n = expire_rewrite(catalog, spark, table, cutoff)
-            removed[tier] = n
+            # metadata-only drop of wholly-expired files first (cheap),
+            # then ALWAYS rewrite the surviving boundary rows — files that
+            # span the cutoff day would otherwise keep expired rows, making
+            # retention results depend on physical file layout. Returned
+            # count = rows removed by the rewrite (rows inside metadata-
+            # dropped files are never read, so they are not counted).
+            expire_files(catalog, table, cutoff)
+            removed[tier] = expire_rewrite(catalog, spark, table, cutoff)
         except FileNotFoundError:
             removed[tier] = 0
     return removed

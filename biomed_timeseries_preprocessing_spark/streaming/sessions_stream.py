@@ -47,56 +47,70 @@ SESSION_STATE = StructType(
 )
 
 GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
+FLUSH_TIMEOUT_MS = 60 * 60 * 1000  # idle-conversation flush (production)
 
 
-def _sessionize_group(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (conv_id,) = key
-    if state.hasTimedOut:
-        start_us, last_us, n = state.get
-        state.remove()
-        yield pd.DataFrame(
-            {
-                "conv_id": [conv_id],
-                "session_start": [pd.Timestamp(start_us, unit="us")],
-                "session_end": [pd.Timestamp(last_us, unit="us")],
-                "n_turns": [n],
-            }
-        )
-        return
-    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts", kind="mergesort")
-    ts_us = rows["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-    start_us, last_us, n = state.get if state.exists else (None, None, 0)
-    out = []
-    for t in ts_us:
-        if start_us is None:
-            start_us, last_us, n = int(t), int(t), 1
-        elif t - last_us > GAP_US:
-            out.append((conv_id, start_us, last_us, n))
-            start_us, last_us, n = int(t), int(t), 1
-        else:
-            last_us, n = int(t), n + 1
-    state.update((start_us, last_us, n))
-    state.setTimeoutDuration(60 * 60 * 1000)  # flush idle conversations
-    if out:
-        yield pd.DataFrame(
-            {
-                "conv_id": [o[0] for o in out],
-                "session_start": [pd.Timestamp(o[1], unit="us") for o in out],
-                "session_end": [pd.Timestamp(o[2], unit="us") for o in out],
-                "n_turns": [o[3] for o in out],
-            }
-        )
+def _make_sessionize_group(gap_us: int, flush_timeout_ms: int):
+    def _sessionize_group(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_turns": [n],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts", kind="mergesort")
+        ts_us = rows["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        out = []
+        for t in ts_us:
+            if start_us is None:
+                start_us, last_us, n = int(t), int(t), 1
+            elif t - last_us > gap_us:
+                out.append((conv_id, start_us, last_us, n))
+                start_us, last_us, n = int(t), int(t), 1
+            else:
+                # late (out-of-order) events must never move the session end
+                # backwards: clamp instead of overwriting
+                last_us, n = max(last_us, int(t)), n + 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutDuration(flush_timeout_ms)  # flush idle conversations
+        if out:
+            yield pd.DataFrame(
+                {
+                    "conv_id": [o[0] for o in out],
+                    "session_start": [pd.Timestamp(o[1], unit="us") for o in out],
+                    "session_end": [pd.Timestamp(o[2], unit="us") for o in out],
+                    "n_turns": [o[3] for o in out],
+                }
+            )
+
+    return _sessionize_group
 
 
-def streaming_sessions(turns: DataFrame) -> DataFrame:
-    """turns stream (conv_id, ts, ...) → closed-session rows."""
+def streaming_sessions(
+    turns: DataFrame,
+    gap_us: int = GAP_US,
+    flush_timeout_ms: int = FLUSH_TIMEOUT_MS,
+) -> DataFrame:
+    """turns stream (conv_id, ts, ...) → closed-session rows. Open sessions
+    flush after ``flush_timeout_ms`` of processing-time inactivity; a batch
+    driver that wants end-of-stream flush passes a short timeout so the
+    trailing micro-batches (which Structured Streaming keeps scheduling
+    while timeouts are registered) evaluate it promptly."""
     return (
         turns.select("conv_id", "ts")
         .groupBy("conv_id")
         .applyInPandasWithState(
-            _sessionize_group,
+            _make_sessionize_group(gap_us, flush_timeout_ms),
             SESSION_OUT,
             SESSION_STATE,
             "append",
@@ -111,9 +125,16 @@ def run_sessions_to_memory(
     query_name: str = "sessions_stream",
     expected_rows: int | None = None,
     max_wait_s: int = 120,
+    flush_timeout_ms: int = FLUSH_TIMEOUT_MS,
 ) -> DataFrame:
     """Drive the stateful operator over a static parquet dir in multiple
     micro-batches (state must survive batch boundaries).
+
+    Pass a short ``flush_timeout_ms`` (e.g. 2000) to get end-of-stream
+    flush of still-open sessions — the empty trailing micro-batches that
+    timeout registration keeps scheduling will evaluate it within the
+    polling wait. With the production default (1 h) open tails are
+    withheld, matching the streaming semantics.
 
     NOTE: with ProcessingTimeTimeout registered, Structured Streaming
     keeps scheduling (empty) batches to evaluate timeouts, so
@@ -126,7 +147,7 @@ def run_sessions_to_memory(
         .parquet(turns_path)
     )
     q = (
-        streaming_sessions(src)
+        streaming_sessions(src, flush_timeout_ms=flush_timeout_ms)
         .writeStream.outputMode("append")
         .format("memory")
         .queryName(query_name)
