@@ -1,0 +1,162 @@
+"""Near-dup cluster canonicalization: connected components over
+similarity pairs → one canonical doc per cluster + drop flags.
+
+This completes the dedup story the pair emitters (``dedup.py``) start:
+a training-data pipeline doesn't want (doc_a, doc_b, jaccard) rows, it
+wants ``canonical_id`` per document and a drop-list. The reference's
+analog is its ordered dedup + manifest routing
+(``/root/reference/utils/sleep_data_prep/File_Struct.py:101,129-133``),
+which keeps the first-seen member of each duplicate group.
+
+Algorithm (public knowledge — Kiveris et al. "Connected Components in
+MapReduce and Beyond", and the classic pointer-jumping/label-propagation
+family): iterate
+  1. **propagate**  lbl(v) ← min(lbl(v), min over neighbors lbl(u))
+  2. **jump**       lbl(v) ← lbl(lbl(v))   (path halving)
+until no label changes. Propagation alone needs O(diameter) rounds;
+the jump step makes long chains collapse in O(log d) rounds. Every round
+is two shuffles (neighbor groupBy + label-map join) on DataFrames —
+no driver-side graph state, so it scales to edge sets that don't fit on
+one machine. Per-round ``localCheckpoint`` truncates the logical plan so
+the iteration count doesn't blow up lineage/codegen.
+
+Candidate pairs can come from MinHash-LSH (``minhash_dedup`` — the
+100 TB path) or from the exact shared-shingle inverted index below
+(oracle-friendly: no hash functions, reproducible in plain SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import word_shingles
+
+
+def shared_shingle_pairs(
+    shingled: DataFrame, threshold: float = 0.5, df_cap: int | None = None
+) -> DataFrame:
+    """Exact near-dup pairs from the shingle inverted index: two docs are
+    candidates iff they share ≥1 shingle (a guaranteed superset of any
+    pair with Jaccard > 0), verified with exact integer Jaccard.
+
+    ``df_cap`` drops shingles whose document frequency exceeds the cap
+    from candidate generation (the standard guard against a boilerplate
+    shingle exploding the self-join quadratically). Capped generation can
+    miss pairs whose only shared shingles are ubiquitous — leave it None
+    when exactness is required (e.g. oracle comparison); at 100 TB set a
+    cap and/or use the MinHash-LSH path for candidates.
+    """
+    sh = shingled
+    if df_cap is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = (
+            sh.join(dfreq.filter(F.col("_df") <= df_cap), "shingle")
+            .drop("_df")
+        )
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id) + (src, dst) undirected edges → (id, component) where
+    component = min node id reachable. Min-label propagation with path
+    halving; converges in O(log diameter) rounds, each round two
+    shuffles. Raises if ``max_iter`` rounds don't converge (a graph with
+    diameter > 2^25 is not a dedup clustering problem)."""
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("id", "d"), "d")
+            .groupBy(F.col("s").alias("id"))
+            .agg(F.min("lbl").alias("_nbr"))
+        )
+        prop = labels.join(nbr_min, "id", "left").select(
+            "id", F.least("lbl", F.coalesce("_nbr", "lbl")).alias("lbl")
+        )
+        # path halving: lbl ← lbl(lbl) (labels are node ids, so the map
+        # always has an entry)
+        jumped = (
+            prop.alias("x")
+            .join(
+                prop.select(F.col("id").alias("lbl"), F.col("lbl").alias("_lbl2")).alias("m"),
+                "lbl",
+                "left",
+            )
+            .select("id", F.coalesce("_lbl2", "lbl").alias("lbl"))
+        )
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = (
+            jumped.join(labels.withColumnRenamed("lbl", "_old"), "id")
+            .filter(F.col("lbl") != F.col("_old"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            return labels.select("id", F.col("lbl").alias("component"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Canonicalize near-duplicates: docs → similarity pairs → connected
+    components → one row per doc with its cluster's canonical id (min
+    doc_id), cluster size, and drop flag.
+
+    ``pairs`` overrides candidate generation (pass ``minhash_dedup``
+    output for the LSH path); default is the exact shared-shingle index.
+    """
+    if pairs is None:
+        pairs = shared_shingle_pairs(word_shingles(docs, id_col, text, n), threshold)
+    nodes = docs.select(F.col(id_col).alias("id"))
+    comp = connected_components(nodes, pairs)
+    clusters = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(clusters, "component")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("component").alias("canonical_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            (F.col("id") != F.col("component")).alias("is_duplicate"),
+        )
+    )
