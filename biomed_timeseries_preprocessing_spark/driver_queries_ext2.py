@@ -206,11 +206,10 @@ def one_hot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ W4: STFT (rows-only)
 
-@q("stft_1m_activity")
-def stft_1m_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spectral view of per-minute activity: regular minute grid per conv
-    (0-filled gaps) → hamming/rfft frames → per-bin power; the
-    create_sfft_windows analog over transcript activity."""
+def activity_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular per-minute activity series per conv (0-filled gaps) — the
+    shared input of the STFT queries below and the Parseval check in
+    driver_queries_ext4."""
     t = events_as_transcripts(load_events(spark, sf_dir))
     tier = rollup_from_turns(with_derived(t), "1m")
     grid = (
@@ -233,8 +232,19 @@ def stft_1m_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket_start", F.timestamp_micros(F.col("lo") + F.col("idx") * 60_000_000)
         )
     )
-    series = grid.join(
+    return grid.join(
         tier.select("conv_id", "bucket_start", "cnt"), ["conv_id", "bucket_start"], "left"
     ).select("conv_id", F.col("idx").cast("int").alias("idx"), F.coalesce("cnt", F.lit(0)).cast("double").alias("value"))
+
+
+# rows-only by nature: per-bin dB stats require an FFT the SQL oracle
+# lacks; the spectral math itself is oracle-checked by stft_parseval
+# (driver_queries_ext4) and pytest vs numpy (test_scalars_spectral).
+@q("stft_1m_activity")
+def stft_1m_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral view of per-minute activity: regular minute grid per conv
+    (0-filled gaps) → hamming/rfft frames → per-bin power; the
+    create_sfft_windows analog over transcript activity."""
+    series = activity_series(spark, sf_dir)
     stft = stft_series(series, frame=32, hop=16)
     return per_bin_stats(stft)

@@ -12,7 +12,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .driver_queries import ORACLE, QUERIES, q  # noqa: F401
+from .driver_queries_ext2 import activity_series
+from .functions.codec import decode_chunks_df, encode_chunks
+from .functions.spectral import stft_parseval
 from .operators.components import neardup_clusters
+from .operators.derive import with_derived
+from .sources.events_adapter import (
+    EVENTS_AS_TRANSCRIPTS_SQL,
+    events_as_transcripts,
+    load_events,
+)
 
 __all__ = ["QUERIES", "ORACLE"]
 
@@ -68,3 +77,62 @@ FROM comp JOIN cs USING (canonical_id)
 def neardup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return neardup_clusters(docs, n=3, threshold=0.5)
+
+
+# --------------------------------- codec round-trip (EXACT oracle check)
+
+@q(
+    "codec_roundtrip",
+    f"""
+WITH t AS ({EVENTS_AS_TRANSCRIPTS_SQL})
+SELECT conv_id, ts,
+       CAST((epoch_us(ts) - lag(epoch_us(ts))
+             OVER (PARTITION BY conv_id ORDER BY turn_idx)) // 1000 AS DOUBLE) AS latency_ms,
+       CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS token_count
+FROM t
+""",
+)
+def codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode → decode → per-turn rows compared EXACTLY against the raw
+    derived turns: exercises both the vectorized batch encoder and the
+    vectorized batch decoder (read path) under the driver's value-hash
+    gate. The conversation-head NULL latency round-trips as a NaN bit
+    pattern and is mapped back to NULL here."""
+    t = events_as_transcripts(load_events(spark, sf_dir))
+    d = with_derived(t)
+    chunks = encode_chunks(d, chunk_seconds=86400)
+    dec = decode_chunks_df(chunks)
+    return dec.select(
+        "conv_id",
+        "ts",
+        F.when(F.isnan("latency_ms"), F.lit(None)).otherwise(F.col("latency_ms")).alias("latency_ms"),
+        F.col("token_count").cast("long").alias("token_count"),
+    )
+
+
+# ----------------------------- STFT Parseval identity (oracle-checkable)
+
+_STFT_PARSEVAL_SQL = f"""
+WITH t AS ({EVENTS_AS_TRANSCRIPTS_SQL}),
+d AS (SELECT conv_id, (epoch_us(ts) // 60000000) * 60000000 AS bucket_us FROM t),
+r AS (SELECT conv_id, bucket_us FROM d GROUP BY conv_id, bucket_us),
+b AS (SELECT conv_id, min(bucket_us) AS lo, max(bucket_us) AS hi FROM r GROUP BY conv_id),
+n AS (SELECT conv_id, (hi - lo) // 60000000 + 1 AS n_idx FROM b),
+f AS (
+  SELECT conv_id, unnest(generate_series(0, CAST((n_idx - 32) // 16 AS BIGINT))) AS frame_idx
+  FROM n WHERE n_idx >= 32
+)
+SELECT conv_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(1.0 AS DOUBLE) AS parseval_ratio
+FROM f
+"""
+
+
+@q("stft_parseval", _STFT_PARSEVAL_SQL)
+def stft_parseval_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parseval check of the FFT path: per STFT frame, spectral energy
+    must equal N × windowed time-domain energy — the oracle reproduces
+    the exact (conv, frame) grid and the identity value 1.0, so frame
+    alignment AND spectral math are hash-verified without an oracle FFT."""
+    return stft_parseval(activity_series(spark, sf_dir), frame=32, hop=16)

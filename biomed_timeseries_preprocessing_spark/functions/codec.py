@@ -342,31 +342,31 @@ DECODED_TURNS_SCHEMA = "conv_id string, ts timestamp, latency_ms double, token_c
 def decode_chunks_df(chunks):
     """Distributed decompression scan: blobs → per-turn rows.
 
-    Decode of prefix codes is inherently sequential per block (the read
-    path / verification grade); each Arrow batch of chunk rows expands to
-    its turns in one mapInPandas pass. latency comes back as float64 with
-    NaN for the conversation-head NULL (bit-preserved by the XOR codec).
+    Decode is **vectorized across all blocks in the Arrow batch**
+    (``codec_batch.decode_*_batch``: step k of every block decodes
+    simultaneously as numpy array ops — the read-path mirror of the batch
+    encoder; no per-row Python). latency comes back as float64 with NaN
+    for the conversation-head NULL (bit-preserved by the XOR codec).
     """
 
     def decode_partition(batches):
+        from .codec_batch import decode_dod_batch, decode_xor_batch
+
         for pdf in batches:
-            frames = []
-            for _, r in pdf.iterrows():
-                ts_us = decode_dod(bytes(r["ts_blob"]))
-                lat = decode_xor(bytes(r["latency_blob"]))
-                tok = decode_dod(bytes(r["token_blob"]))
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "conv_id": r["conv_id"],
-                            "ts": pd.to_datetime(ts_us, unit="us"),
-                            "latency_ms": lat,
-                            "token_count": tok,
-                        }
-                    )
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            if not len(pdf):
+                continue
+            ts_us, starts = decode_dod_batch(list(pdf["ts_blob"]))
+            lat, _ = decode_xor_batch(list(pdf["latency_blob"]))
+            tok, _ = decode_dod_batch(list(pdf["token_blob"]))
+            n = np.diff(np.append(starts, len(ts_us)))
+            yield pd.DataFrame(
+                {
+                    "conv_id": np.repeat(pdf["conv_id"].to_numpy(), n),
+                    "ts": pd.to_datetime(ts_us, unit="us"),
+                    "latency_ms": lat,
+                    "token_count": tok,
+                }
+            )
 
     return chunks.select("conv_id", "ts_blob", "latency_blob", "token_blob").mapInPandas(
         decode_partition, DECODED_TURNS_SCHEMA

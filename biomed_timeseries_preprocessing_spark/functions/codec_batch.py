@@ -144,6 +144,128 @@ def encode_dod_batch(values: np.ndarray, starts: np.ndarray) -> list[bytes]:
     ]
 
 
+def _concat_blobs(blobs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Concatenate blobs into one byte buffer + per-blob byte offsets.
+    The bit view is padded so vectorized 69/78-bit window gathers past the
+    last code never index out of bounds."""
+    lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=len(blobs))
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    buf = np.frombuffer(b"".join(bytes(b) for b in blobs), dtype=np.uint8)
+    bits = np.unpackbits(np.concatenate([buf, np.zeros(16, dtype=np.uint8)]))
+    return buf, offs, bits
+
+
+def _read_be64(buf: np.ndarray, byte_offsets: np.ndarray) -> np.ndarray:
+    """Gather big-endian int64s at the given byte offsets (vectorized)."""
+    if len(byte_offsets) == 0:
+        return np.zeros(0, dtype=np.int64)
+    pos = byte_offsets[:, None] + np.arange(8)[None, :]
+    return buf[pos.ravel()].reshape(-1, 8).copy().view(">i8").ravel().astype(np.int64)
+
+
+def _gather_value(bits: np.ndarray, pos: np.ndarray, nbits: np.ndarray, width: int) -> np.ndarray:
+    """Vectorized variable-length big-endian bit-field read: for each row
+    i, the integer formed by bits[pos[i] : pos[i]+nbits[i]] (nbits ≤ width
+    ≤ 64). One (rows × width) gather + shift-sum — no per-row Python."""
+    if len(pos) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    w = bits[pos[:, None] + np.arange(width)[None, :]].astype(np.uint64)
+    shifts = nbits[:, None] - 1 - np.arange(width)[None, :]
+    valid = shifts >= 0
+    return ((w << np.where(valid, shifts, 0).astype(np.uint64)) * valid).sum(
+        axis=1, dtype=np.uint64
+    )
+
+
+def decode_dod_batch(blobs) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized-across-blocks delta-of-delta decode: step k decodes
+    element k of EVERY still-active block at once (prefix classification,
+    payload gather, and the delta chain are all numpy array ops), so the
+    per-row cost is O(1) numpy work regardless of block count — the read-
+    path mirror of the batch encoders above. Returns (values, starts)
+    exactly inverse to ``encode_dod_batch``."""
+    nb = len(blobs)
+    if nb == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    buf, offs, bits = _concat_blobs(blobs)
+    n = _read_be64(buf, offs)
+    starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+    out = np.zeros(int(n.sum()), dtype=np.int64)
+
+    has1 = n >= 1
+    out[starts[has1]] = _read_be64(buf, offs[has1] + 8)
+    has2 = n >= 2
+    d0 = np.zeros(nb, dtype=np.int64)
+    d0[has2] = _read_be64(buf, offs[has2] + 16)
+    with np.errstate(over="ignore"):
+        out[starts[has2] + 1] = out[starts[has2]] + d0[has2]
+
+    head_bytes = np.where(n >= 2, 24, np.where(n == 1, 16, 8))
+    pos = (offs + head_bytes) * 8  # absolute bit cursor per block
+    delta = d0.copy()
+    cur = np.zeros(nb, dtype=np.int64)
+    cur[has2] = out[starts[has2] + 1]
+    max_n = int(n.max()) if nb else 0
+    # payload widths by prefix class '0','10','110','1110','11110','11111'
+    pay_w = np.array([0, 7, 9, 12, 32, 64], dtype=np.int64)
+    hdr_w = np.array([1, 2, 3, 4, 5, 5], dtype=np.int64)
+    for k in range(2, max_n):
+        act = np.flatnonzero(n > k)
+        p = pos[act]
+        ctl = bits[p[:, None] + np.arange(5)[None, :]]
+        ones = np.cumprod(ctl, axis=1).sum(axis=1)  # leading ones (0..5)
+        cls = ones  # class index == number of leading ones
+        hw = hdr_w[cls]
+        pw = pay_w[cls]
+        zz = _gather_value(bits, p + hw, pw, 64)
+        dod = ((zz >> np.uint64(1)) ^ (np.uint64(0) - (zz & np.uint64(1)))).view(np.int64)
+        with np.errstate(over="ignore"):
+            delta[act] = delta[act] + dod
+            cur[act] = cur[act] + delta[act]
+        out[starts[act] + k] = cur[act]
+        pos[act] = p + hw + pw
+    return out, starts
+
+
+def decode_xor_batch(blobs) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized-across-blocks Gorilla-XOR decode (inverse of
+    ``encode_xor_batch``; bit patterns — including NaNs — preserved).
+    Returns (float64 values, starts)."""
+    nb = len(blobs)
+    if nb == 0:
+        return np.zeros(0, dtype=np.float64), np.zeros(0, dtype=np.int64)
+    buf, offs, bits = _concat_blobs(blobs)
+    n = _read_be64(buf, offs)
+    starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+    out = np.zeros(int(n.sum()), dtype=np.uint64)
+
+    has1 = n >= 1
+    out[starts[has1]] = _read_be64(buf, offs[has1] + 8).view(np.uint64)
+    head_bytes = np.where(n >= 1, 16, 8)
+    pos = (offs + head_bytes) * 8
+    cur = np.zeros(nb, dtype=np.uint64)
+    cur[has1] = out[starts[has1]]
+    max_n = int(n.max()) if nb else 0
+    for k in range(1, max_n):
+        act = np.flatnonzero(n > k)
+        p = pos[act]
+        c0 = bits[p].astype(bool)  # 1 → '11' header follows; 0 → repeat
+        nz = np.flatnonzero(c0)
+        if len(nz):
+            pn = p[nz]
+            lz = _gather_value(bits, pn + 2, np.full(len(nz), 6), 6).astype(np.int64)
+            nbit = _gather_value(bits, pn + 8, np.full(len(nz), 6), 6).astype(np.int64) + 1
+            mean = _gather_value(bits, pn + 14, nbit, 64)
+            tz = (64 - lz - nbit).astype(np.uint64)
+            cur[act[nz]] = cur[act[nz]] ^ (mean << tz)
+            pos[act[nz]] = pn + 14 + nbit
+        z = np.flatnonzero(~c0)
+        if len(z):
+            pos[act[z]] = p[z] + 1
+        out[starts[act] + k] = cur[act]
+    return out.view(np.float64), starts
+
+
 def encode_xor_batch(values: np.ndarray, starts: np.ndarray) -> list[bytes]:
     """Gorilla-XOR batch encode float64 blocks (bit patterns preserved)."""
     f = np.asarray(values, dtype=np.float64)

@@ -66,6 +66,44 @@ def stft_series(
     )
 
 
+PARSEVAL_SCHEMA = "conv_id string, frame_idx int, parseval_ratio double"
+
+
+def stft_parseval(
+    series: DataFrame, frame: int = 32, hop: int = 16, value_col: str = "value"
+) -> DataFrame:
+    """Per-frame Parseval identity check of the STFT path: for the real
+    FFT, |X_0|² + |X_{N/2}|² + 2·Σ_{0<k<N/2}|X_k|²  ==  N · Σ_n (w_n x_n)².
+    Emits the ratio of the two sides (rounded to 9 decimals → exactly 1.0
+    when the FFT is correct), keyed by the same (conv, frame) grid as
+    ``stft_series`` — which makes the frame-alignment arithmetic AND the
+    spectral math SQL-oracle-checkable without an FFT in the oracle."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("idx", kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        n = (len(x) - frame) // hop + 1 if len(x) >= frame else 0
+        if n <= 0:
+            return pd.DataFrame(columns=["conv_id", "frame_idx", "parseval_ratio"])
+        idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
+        wx = x[idx] * np.hamming(frame)[None, :]
+        z = np.abs(np.fft.rfft(wx, axis=1)) ** 2
+        spec = z[:, 0] + z[:, -1] + 2.0 * z[:, 1:-1].sum(axis=1)
+        time_e = frame * (wx**2).sum(axis=1)
+        ratio = np.where(time_e == 0.0, 1.0, spec / np.where(time_e == 0.0, 1.0, time_e))
+        return pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"].iloc[0],
+                "frame_idx": np.arange(n, dtype=np.int32),
+                "parseval_ratio": np.round(ratio, 9),
+            }
+        )
+
+    return series.select("conv_id", "idx", value_col).groupBy("conv_id").applyInPandas(
+        kernel, PARSEVAL_SCHEMA
+    )
+
+
 def per_bin_stats(stft: DataFrame) -> DataFrame:
     """Per-frequency-bin mean/std over all frames — the reference's
     per-bin STFT metrics (``edf_reader.py:385-390``, vectors of length

@@ -144,3 +144,47 @@ def test_table_level_roundtrip(spark, small_transcripts):
     lat_w = want["latency_ms"].astype("float64").to_numpy()
     assert np.array_equal(lat_b.view("uint64"), lat_w.view("uint64"))
     assert (back["token_count"].to_numpy() == want["token_count"].to_numpy()).all()
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=0, max_size=40),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_batch_decoder_dod_matches_per_block(blocks):
+    """Vectorized-across-blocks decoder == per-block decoder == input."""
+    from biomed_timeseries_preprocessing_spark.functions.codec_batch import decode_dod_batch
+
+    arrs = [np.array(b, dtype=np.int64) for b in blocks]
+    blobs = [encode_dod(a) for a in arrs]
+    vals, starts = decode_dod_batch(blobs)
+    assert len(vals) == sum(len(a) for a in arrs)
+    for i, a in enumerate(arrs):
+        s = starts[i]
+        assert np.array_equal(vals[s : s + len(a)], a)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(allow_nan=True, allow_infinity=True, width=64), min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_batch_decoder_xor_matches_per_block(blocks):
+    from biomed_timeseries_preprocessing_spark.functions.codec_batch import decode_xor_batch
+
+    arrs = [np.array(b, dtype=np.float64) for b in blocks]
+    blobs = [encode_xor(a) for a in arrs]
+    vals, starts = decode_xor_batch(blobs)
+    for i, a in enumerate(arrs):
+        s = starts[i]
+        assert np.array_equal(
+            vals[s : s + len(a)].view(np.uint64), a.view(np.uint64)
+        )
