@@ -77,7 +77,8 @@ class LineageLog:
         checksum: int,
         wall_ms: int,
     ) -> None:
-        pdf = self.spark.createDataFrame(
+        self.commit_many(
+            run_id,
             [
                 (
                     run_id,
@@ -91,10 +92,18 @@ class LineageLog:
                     wall_ms,
                 )
             ],
+        )
+
+    def commit_many(self, run_id: str, rows: list[tuple]) -> None:
+        """One snapshot commit for a batch of lineage rows (e.g. every
+        stage of one work bucket) — lineage stays atomic per bucket and
+        the snapshot count drops from stages×buckets to buckets."""
+        pdf = self.spark.createDataFrame(
+            rows,
             "run_id string, stage string, partition_key string, rows_in long, "
             "rows_out long, min_ts timestamp, max_ts timestamp, checksum long, wall_ms long",
         ).withColumn("committed_at", F.current_timestamp())
-        self.catalog.append(LINEAGE_TABLE, pdf, {"run_id": run_id, "stage": stage})
+        self.catalog.append(LINEAGE_TABLE, pdf, {"run_id": run_id})
 
     def metrics(self, run_id: str | None = None) -> DataFrame:
         df = self.catalog.read(self.spark, LINEAGE_TABLE)

@@ -5,19 +5,23 @@ Run:
       --source /path/to/transcripts_parquet --warehouse /path/to/wh \
       --run-id nightly-2026-08-16 --buckets 16
 
-Work is partitioned into ``--buckets`` conv_id hash-buckets. Per bucket:
-derive → 1m→5m→1h→1d cascade → dynamic-partition-overwrite commit of each
-tier + one lineage row per (stage, bucket). A killed job re-submitted
-with the same --run-id resumes from the last committed snapshot: already
-committed (stage, bucket) pairs are skipped (anti-join against lineage),
-and the half-written bucket is safely re-committed because tier writes
-are partition *overwrites* (idempotent), not appends.
+Work is partitioned into ``--buckets`` conv_id hash-buckets. The source
+is scanned ONCE: a staging write materializes it bucket-partitioned
+(``_staging/<run-id>/bucket=N/``), so every subsequent per-bucket read
+prunes to its own partition directory instead of re-scanning the input
+(the Iceberg analog is writing the ingest table with a
+``bucket(conv_id, N)`` partition transform). Per bucket: derive →
+1m→5m→1h→1d cascade → dynamic-partition-overwrite commit of each tier +
+ONE batched lineage commit carrying all of the bucket's stage rows. A
+killed job re-submitted with the same --run-id resumes from the last
+committed snapshot: already committed (stage, bucket) pairs are skipped
+(anti-join against lineage), and the half-written bucket is safely
+re-committed because tier writes are partition *overwrites*
+(idempotent), not appends.
 
 This per-bucket commit loop is the Spark-shaped version of the
 reference's per-patient joblib loop (``File_Struct.py:576-579``) with
-the two things it lacks: atomic commits and resume. At cluster scale the
-source table is bucket-partitioned so each bucket job prunes to its own
-partition; in this sandbox the filter is evaluated over the small scan.
+the two things it lacks: atomic commits and resume.
 """
 
 from __future__ import annotations
@@ -96,6 +100,34 @@ def run(args, spark=None) -> dict:
     else:
         raw = synth_transcripts(spark, args.synth_convs)
 
+    # ------------------------------------------------ stage source ONCE
+    # bucket-partitioned staging write: the only full scan of the input.
+    # Every per-bucket read below prunes to one partition directory.
+    staging = os.path.join(args.warehouse, "_staging", args.run_id)
+    stage_done = (
+        not args.no_resume
+        and "all" in log.committed(args.run_id, "stage_source")
+        and os.path.isdir(staging)
+    )
+    if not stage_done:
+        t0 = time.time()
+        raw.withColumn("bucket", bucket_of(F.col("conv_id"), args.buckets)).write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(staging)
+        n_staged = spark.read.parquet(staging).count()  # footer metadata only
+        log.commit(
+            run_id=args.run_id,
+            stage="stage_source",
+            partition_key="all",
+            rows_in=n_staged,
+            rows_out=n_staged,
+            min_ts=None,
+            max_ts=None,
+            checksum=0,
+            wall_ms=int((time.time() - t0) * 1000),
+        )
+    staged = spark.read.parquet(staging)
+
     all_buckets = list(range(args.buckets))
     first_stage = f"rollup_{tiers[-1]}"  # a bucket counts as done when its
     # deepest tier committed — lineage rows for every tier are still written.
@@ -111,7 +143,8 @@ def run(args, spark=None) -> dict:
             raise RuntimeError(f"injected failure before bucket {b} (test hook)")
         t0 = time.time()
         persisted = []
-        part = raw.filter(bucket_of(F.col("conv_id"), args.buckets) == b)
+        lineage_rows = []  # batched: ONE lineage commit per bucket
+        part = staged.filter(F.col("bucket") == b).drop("bucket")
         if args.gapfill:
             filled = gapfill(part).persist()
             persisted.append(filled)
@@ -124,21 +157,24 @@ def run(args, spark=None) -> dict:
                     f"in bucket {b} — refusing to commit (input_hint contract)"
                 )
             n_filled = filled.filter(F.col("is_gap_filled")).count()
-            log.commit(
-                run_id=args.run_id,
-                stage="gapfill",
-                partition_key=str(b),
-                rows_in=part.count(),
-                rows_out=n_filled,
-                min_ts=None,
-                max_ts=None,
-                checksum=0,
-                wall_ms=int((time.time() - t0) * 1000),
+            lineage_rows.append(
+                (
+                    args.run_id,
+                    "gapfill",
+                    str(b),
+                    part.count(),
+                    n_filled,
+                    None,
+                    None,
+                    0,
+                    int((time.time() - t0) * 1000),
+                )
             )
             work_turns = filled.drop("is_gap_filled")
         else:
             work_turns = part
-        derived = with_derived(work_turns)
+        derived = with_derived(work_turns).persist()
+        persisted.append(derived)
         if args.codec_chunks:
             chunks = encode_chunks(derived)
             catalog.overwrite_partitions("codec_chunks", chunks, {"bucket": b})
@@ -153,18 +189,23 @@ def run(args, spark=None) -> dict:
                 F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
             ).collect()[0]
             catalog.overwrite_partitions(f"rollup_{tier}", df, {"bucket": b})
-            log.commit(
-                run_id=args.run_id,
-                stage=f"rollup_{tier}",
-                partition_key=str(b),
-                rows_in=rows_in,
-                rows_out=rows_out,
-                min_ts=extent["lo"],
-                max_ts=extent["hi"],
-                checksum=frame_checksum(df, ["conv_id", "bucket_start", "cnt", "sum_tokens"]),
-                wall_ms=int((time.time() - t0) * 1000),
+            lineage_rows.append(
+                (
+                    args.run_id,
+                    f"rollup_{tier}",
+                    str(b),
+                    rows_in,
+                    rows_out,
+                    extent["lo"],
+                    extent["hi"],
+                    frame_checksum(df, ["conv_id", "bucket_start", "cnt", "sum_tokens"]),
+                    int((time.time() - t0) * 1000),
+                )
             )
             stats["rows_out"] += rows_out
+        # single atomic lineage commit: a bucket is either fully recorded
+        # (deepest tier present → resume skips it) or not at all
+        log.commit_many(args.run_id, lineage_rows)
         for p in persisted:
             p.unpersist()
         stats["buckets_run"] += 1

@@ -62,11 +62,13 @@ def test_kill_and_resume_equals_uninterrupted(spark, tmp_path):
         b = read_sorted(cat_b, spark, f"rollup_{tier}")
         pd.testing.assert_frame_equal(a, b, check_exact=True)
 
-    # no recompute: exactly one lineage row per (stage, bucket)
+    # no recompute: exactly one lineage row per (stage, bucket), plus the
+    # single stage_source staging row (written once, skipped on resume)
     lin = cat_b.read(spark, "lineage").toPandas()
     per = lin.groupby(["stage", "partition_key"]).size()
     assert (per == 1).all()
-    assert len(per) == 4 * 4
+    assert len(per) == 4 * 4 + 1
+    assert len(lin[lin.stage == "stage_source"]) == 1
 
 
 def test_snapshot_isolation_and_expiry(spark, tmp_path):
@@ -129,7 +131,7 @@ def test_job_with_gapfill_and_codec(spark, tmp_path):
     assert stats["buckets_run"] == 2
     cat = LocalSnapshotCatalog(str(tmp_path / "wh"))
     lin = cat.read(spark, "lineage").toPandas()
-    assert set(lin["stage"]) == {"gapfill", "rollup_1m", "rollup_1h"}
+    assert set(lin["stage"]) == {"stage_source", "gapfill", "rollup_1m", "rollup_1h"}
     gap_rows = lin[lin.stage == "gapfill"]
     assert len(gap_rows) == 2 and gap_rows["rows_out"].sum() > 0
     chunks = cat.read(spark, "codec_chunks")
@@ -138,3 +140,26 @@ def test_job_with_gapfill_and_codec(spark, tmp_path):
     import pyspark.sql.functions as F
     sums = chunks.select(F.sum("ts_bytes").alias("c"), F.sum("raw_bytes").alias("r")).collect()[0]
     assert sums["c"] < sums["r"]
+
+
+def test_staging_prunes_per_bucket_scan(spark, tmp_path):
+    """The source is scanned once into a bucket-partitioned staging dir;
+    each per-bucket read must hit a PartitionFilter (directory pruning),
+    not a full re-scan — the scan-multiplication fix."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    wh = str(tmp_path / "wh")
+    run_job(job_args(warehouse=wh, run_id="r2", tiers="1m"), spark=spark)
+    staging = os.path.join(wh, "_staging", "r2")
+    parts = {d for d in os.listdir(staging) if d.startswith("bucket=")}
+    assert parts and parts <= {f"bucket={b}" for b in range(4)}
+    plan = (
+        spark.read.parquet(staging)
+        .filter(F.col("bucket") == 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
