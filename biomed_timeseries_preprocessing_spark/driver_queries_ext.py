@@ -366,13 +366,15 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=5).select("q_id", "rnk", "nbr_id")
 
 
-@q("ann_topk_lsh")  # rows-only: bucketed ANN, recall measured in pytest
+@q("ann_topk_lsh")  # rows-only: bucketed ANN; recall ≥0.9 asserted in pytest
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return lsh_topk(emb, queries, dim=64, k=5, n_planes=8).select("q_id", "rnk", "nbr_id")
+    return lsh_topk(emb, queries, dim=64, k=5, n_planes=16, bands=4).select(
+        "q_id", "rnk", "nbr_id"
+    )
 
 
 # ------------------------------------- rows-only: hash/codec pipelines

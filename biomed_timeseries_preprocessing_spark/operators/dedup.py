@@ -78,17 +78,56 @@ def minhash_signatures(shingled: DataFrame, k: int = 32) -> DataFrame:
     return shingled.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidates(signatures: DataFrame, bands: int = 8, rows_per_band: int = 4) -> DataFrame:
-    """LSH banding: hash each band of the signature to a bucket; docs
-    sharing any (band, bucket) become a candidate pair (doc_a < doc_b)."""
-    k = bands * rows_per_band
+def _banded(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, band, bucket) rows: each band of the MinHash signature
+    hashed to its LSH bucket."""
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
         band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket")))
-    exploded = signatures.select(
+    return signatures.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_bucket_stats(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Bucket-size distribution (band, bucket, n_docs) — run this to pick
+    / audit ``max_bucket_size`` (no silent caps: callers can count and
+    report exactly which degenerate buckets a cap would drop)."""
+    return _banded(signatures, bands, rows_per_band).groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def lsh_candidates(
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH banding: hash each band of the signature to a bucket; docs
+    sharing any (band, bucket) become a candidate pair (doc_a < doc_b).
+
+    ``max_bucket_size`` drops buckets larger than the cap BEFORE the
+    self-join — one degenerate bucket (boilerplate shingles, exact-dup
+    clusters that skipped exact_dedup) otherwise explodes candidates
+    quadratically. Pairs only reachable through dropped buckets are
+    lost; use ``lsh_bucket_stats`` to report what a cap drops, and run
+    ``exact_dedup`` first so identical docs never reach this operator.
+    """
+    exploded = _banded(signatures, bands, rows_per_band)
+    if max_bucket_size is not None:
+        sizes = exploded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        exploded = (
+            exploded.join(
+                sizes.filter(F.col("_n") <= max_bucket_size), ["band", "bucket"]
+            )
+            .drop("_n")
+        )
     a = exploded.alias("a")
     b_ = exploded.alias("b")
     pairs = (
@@ -141,12 +180,13 @@ def minhash_dedup(
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bands → exact
     Jaccard verification. Returns (doc_a, doc_b, jaccard) pairs."""
     sh = word_shingles(docs, id_col, text, n)
     sig = minhash_signatures(sh, k)
-    cand = lsh_candidates(sig, bands, k // bands)
+    cand = lsh_candidates(sig, bands, k // bands, max_bucket_size)
     return jaccard_verify(cand, sh, threshold).select("doc_a", "doc_b", "jaccard")
 
 
