@@ -17,6 +17,7 @@ from .functions.codec import decode_chunks_df, encode_chunks
 from .functions.spectral import stft_parseval
 from .operators.components import neardup_clusters
 from .operators.derive import with_derived
+from .operators.guards import class_coverage, min_rows_guard
 from .sources.events_adapter import (
     EVENTS_AS_TRANSCRIPTS_SQL,
     events_as_transcripts,
@@ -127,6 +128,56 @@ SELECT conv_id, CAST(frame_idx AS INT) AS frame_idx,
        CAST(1.0 AS DOUBLE) AS parseval_ratio
 FROM f
 """
+
+
+# -------------------------------- P11 class-coverage filter (Discarder)
+
+_COVERAGE_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@q(
+    "class_coverage_users",
+    f"""
+SELECT user_id,
+       {', '.join(f"CAST(count(CASE WHEN event_type = '{c}' THEN 1 END) AS BIGINT) AS n_{c}" for c in _COVERAGE_TYPES)},
+       {' AND '.join(f"count(CASE WHEN event_type = '{c}' THEN 1 END) > 0" for c in _COVERAGE_TYPES)} AS covered
+FROM events GROUP BY user_id
+""",
+)
+def class_coverage_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-recording class-coverage report + discard flag — the
+    Minute_Discarder._contain_all_labels analog on the events table."""
+    ev = load_events(spark, sf_dir)
+    rep = class_coverage(ev, ["user_id"], "event_type", _COVERAGE_TYPES)
+    return rep.select(
+        "user_id",
+        *[F.col(f"n_{c}").cast("long").alias(f"n_{c}") for c in _COVERAGE_TYPES],
+        "covered",
+    )
+
+
+# ------------------------------------ K5 min-rows sink guard (Save_Agent)
+
+@q(
+    "min_rows_guard_kept",
+    """
+SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events e
+JOIN (SELECT user_id FROM events GROUP BY user_id HAVING count(*) >= 60) k
+  ON e.user_id = k.user_id
+GROUP BY e.user_id
+""",
+)
+def min_rows_guard_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink admission guard: only groups with ≥ min_rows reach the write
+    (Save_Agent's skip-small-windows), aggregated per kept group."""
+    ev = load_events(spark, sf_dir)
+    kept, _dropped = min_rows_guard(ev, ["user_id"], min_rows=60)
+    return kept.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
+    )
 
 
 @q("stft_parseval", _STFT_PARSEVAL_SQL)
