@@ -31,6 +31,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from biomed_timeseries_preprocessing_spark import driver_queries, driver_queries_ext  # noqa: E402,F401
+from biomed_timeseries_preprocessing_spark import driver_queries_ext4  # noqa: E402,F401
+from biomed_timeseries_preprocessing_spark.functions.codec import (  # noqa: E402
+    decode_chunks_df,
+    encode_chunks,
+)
 from biomed_timeseries_preprocessing_spark.operators.derive import with_derived  # noqa: E402
 from biomed_timeseries_preprocessing_spark.operators.rollup import (  # noqa: E402
     TIER_ORDER,
@@ -51,6 +56,7 @@ DRIVER_QUERY_SAMPLE = [
     "minhash_neardup_docs",
     "ann_topk_bruteforce",
     "codec_chunks",
+    "codec_roundtrip",
 ]
 
 HEADLINE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
@@ -106,6 +112,21 @@ def main() -> None:
                 reps.append(time.time() - tq)
             queries[name] = round(min(reps), 3)
 
+        # codec read path: encode the synthetic lake once, then measure
+        # the vectorized batch decode scan (blobs → per-turn rows)
+        chunks_path = os.path.join(work, "codec_chunks_bench")
+        encode_chunks(with_derived(spark.read.parquet(raw_path))).write.mode(
+            "overwrite"
+        ).parquet(chunks_path)
+        dec_times = []
+        for _ in range(2):
+            td = time.time()
+            decode_chunks_df(spark.read.parquet(chunks_path)).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            dec_times.append(time.time() - td)
+        decode_sec = min(dec_times)
+
         out = {
             "metric": "ingest_to_tiered_rollup_seconds",
             "value": round(best, 3),
@@ -116,6 +137,8 @@ def main() -> None:
             "turns": n_turns,
             "rollup_points": points,
             "turns_per_sec": round(n_turns / best, 1),
+            "decode_sec": round(decode_sec, 3),
+            "decode_turns_per_sec": round(n_turns / decode_sec, 1),
             "headline_reps_sec": [round(t, 2) for t in times],
             "cpus": int(cpus),
         }

@@ -29,6 +29,7 @@ from .operators.similarity import brute_force_topk, lsh_topk
 from .operators.text import with_fingerprint, with_lang_id, with_quality_score, with_text_stats
 from .sources.events_adapter import (
     EVENTS_AS_TRANSCRIPTS_NOGAP_SQL,
+    EVENTS_AS_TRANSCRIPTS_SQL,
     events_as_transcripts,
     load_events,
 )
@@ -399,12 +400,27 @@ def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(docs).select("doc_id", "fingerprint")
 
 
-@q("codec_chunks")
+@q(
+    "codec_chunks",
+    f"""
+WITH t AS ({EVENTS_AS_TRANSCRIPTS_SQL})
+SELECT conv_id,
+       make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS chunk_start,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) * 24 AS BIGINT) AS raw_bytes
+FROM t GROUP BY conv_id, chunk_start
+""",
+)
 def codec_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking/grouping of the compression stage, oracle-checked on the
+    SQL-expressible columns (blob byte sizes are codec-internal — their
+    correctness is the bit-exact round-trip: ``codec_roundtrip`` query +
+    property tests)."""
     t = events_as_transcripts(load_events(spark, sf_dir))
     d = with_derived(t)
     return encode_chunks(d, chunk_seconds=86400).select(
-        "conv_id", "chunk_start", "n", "ts_bytes", "latency_bytes", "token_bytes", "raw_bytes"
+        "conv_id", "chunk_start", F.col("n").cast("long").alias("n"),
+        F.col("raw_bytes").cast("long").alias("raw_bytes"),
     )
 
 
