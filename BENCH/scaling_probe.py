@@ -78,9 +78,11 @@ def main() -> None:
 
     probe_src = PROBE_BODY.format(repo=REPO)
     results: dict[str, list[float]] = {"8": [], "32": []}
+    loads: dict[str, list[float]] = {"8": [], "32": []}
     n_turns = 0
     for r in range(reps):
         for cpus in ("8", "32"):
+            load1 = os.getloadavg()[0]  # host co-tenancy at launch (honesty)
             out = subprocess.run(
                 [sys.executable, "-c", probe_src, cpus, raw, work],
                 check=True,
@@ -92,7 +94,8 @@ def main() -> None:
             n_turns = int(parts[2])
             els = [float(x) for x in parts[3:]]
             results[cpus].extend(els)
-            print(f"jvm {r} local[{cpus}]: {els}", flush=True)
+            loads[cpus].append(round(load1, 1))
+            print(f"jvm {r} local[{cpus}] (load1={load1:.1f}): {els}", flush=True)
 
     best8, best32 = min(results["8"]), min(results["32"])
     t8, t32 = n_turns / best8, n_turns / best32
@@ -104,6 +107,7 @@ def main() -> None:
         "best_sec": {"8": best8, "32": best32},
         "throughput_turns_per_sec": {"8": round(t8, 1), "32": round(t32, 1)},
         "scaling_efficiency_8_to_32": round(eff, 3),
+        "loadavg_at_launch": loads,
         "method": "alternating fresh-JVM runs, best-of per level, same on-disk input",
     }
     with open(os.path.join(REPO, "BENCH", "scaling_raw.json"), "w") as f:

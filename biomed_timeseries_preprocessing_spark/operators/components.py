@@ -99,6 +99,15 @@ def connected_components(
     sym = sym.localCheckpoint(eager=True)
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
     labels = labels.localCheckpoint(eager=True)
+
+    def _label_sum(df) -> int:
+        # labels are monotonically non-increasing under min-propagation,
+        # so an unchanged exact sum ⟺ a fixed point — one aggregate
+        # instead of a join-with-previous-labels per round
+        row = df.select(F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")).collect()[0]
+        return int(row["s"] or 0)
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels.withColumnRenamed("id", "d"), "d")
@@ -119,15 +128,11 @@ def connected_components(
             )
             .select("id", F.coalesce("_lbl2", "lbl").alias("lbl"))
         )
-        jumped = jumped.localCheckpoint(eager=True)
-        changed = (
-            jumped.join(labels.withColumnRenamed("lbl", "_old"), "id")
-            .filter(F.col("lbl") != F.col("_old"))
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
+        labels = jumped.localCheckpoint(eager=True)
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
             return labels.select("id", F.col("lbl").alias("component"))
+        prev_sum = cur_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

@@ -97,6 +97,9 @@ def tsv_annotations_to_intervals(
     """TSV annotation file → label intervals (S5), with the duration
     filter variant (S6) and the reference's Background head-fill."""
     raw = spark.read.csv(path, sep="\t", schema=TSV_SCHEMA, header=False)
+    # annotation files are per-recording and tiny: the global orderBy
+    # window below intentionally runs single-partition (file order IS the
+    # row semantics here, as in the reference's line-indexed parse)
     w = Window.orderBy(F.monotonically_increasing_id())
     rows = raw.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") > skip_rows)
     iv = (

@@ -56,3 +56,59 @@ def test_cascade_single_exchange(spark, small_transcripts, tmp_path):
     # conv_id hash partitioning. (AQE may add a final coalesce read, which
     # is not an Exchange node.)
     assert n_exchanges == 1, f"cascade grew extra shuffles:\n{p}"
+
+
+def test_lsh_topk_broadcasts_query_side(spark):
+    """ANN candidate generation must broadcast the (small) probe side and
+    never shuffle the embedding table for the join."""
+    import numpy as np
+
+    from biomed_timeseries_preprocessing_spark.operators.similarity import lsh_topk
+
+    rng = np.random.default_rng(3)
+    rows = [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    p = plan_str(lsh_topk(emb, q, dim=8, k=3))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_shared_shingle_pairs_no_cartesian(spark):
+    """The near-dup candidate join is an equi-join on the shingle
+    inverted index — a cartesian product here would be the quadratic
+    all-pairs the design exists to avoid."""
+    from biomed_timeseries_preprocessing_spark.operators.components import (
+        shared_shingle_pairs,
+    )
+    from biomed_timeseries_preprocessing_spark.operators.dedup import word_shingles
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i} words here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    p = plan_str(shared_shingle_pairs(word_shingles(docs)))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_decode_scan_prunes_to_blob_columns(spark, small_transcripts):
+    """The decompression scan reads only the blob columns it decodes —
+    byte-size/bookkeeping columns must be pruned at the parquet reader."""
+    import os
+    import tempfile
+
+    from biomed_timeseries_preprocessing_spark.functions.codec import (
+        decode_chunks_df,
+        encode_chunks,
+    )
+    from biomed_timeseries_preprocessing_spark.operators.derive import with_derived
+
+    work = tempfile.mkdtemp(prefix="dec_plan_")
+    path = os.path.join(work, "chunks")
+    encode_chunks(with_derived(small_transcripts)).write.mode("overwrite").parquet(path)
+    p = plan_str(decode_chunks_df(spark.read.parquet(path)))
+    scan_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "ts_blob" in scan_schema and "latency_blob" in scan_schema
+    assert "raw_bytes" not in scan_schema and "ts_bytes" not in scan_schema
