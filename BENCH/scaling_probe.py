@@ -7,6 +7,13 @@ the identical on-disk input and takes the best per level — measuring the
 hardware's repeatable capability at each parallelism, which is what the
 efficiency gate is about.
 
+Each JVM is **CPU-pinned with taskset to exactly its core budget**
+(0-7 for the N level, 0-31 for 4N): local[8] bounds task slots only —
+GC, parquet/zstd compression, and JVM service threads otherwise
+freeload the idle cores of a quiet 32-core host (measured: an unpinned
+"8-thread" run beat the 32-thread one), which is not what "an executor
+with 8 cores" means on a real cluster.
+
 Usage: python BENCH/scaling_probe.py [reps_per_level] [n_convs]
 Writes BENCH/scaling_raw.json and refreshes the table in BENCH/BASELINE.md.
 """
@@ -21,6 +28,16 @@ import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+
+def pinned_cmd(cpus: str) -> list[str]:
+    """taskset prefix pinning a probe JVM to exactly `cpus` cores (the
+    honest N-executor-cores semantics); empty if taskset is unavailable."""
+    import shutil as _sh
+
+    if _sh.which("taskset"):
+        return ["taskset", "-c", f"0-{int(cpus) - 1}"]
+    return []
+
 PROBE_BODY = r"""
 import sys, time, os
 sys.path.insert(0, {repo!r})
@@ -29,6 +46,7 @@ from biomed_timeseries_preprocessing_spark.operators.derive import with_derived
 from biomed_timeseries_preprocessing_spark.operators.rollup import TIER_ORDER, rollup_from_turns, rollup_merge
 
 cpus, raw, work = sys.argv[1], sys.argv[2], sys.argv[3]
+n_reps = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 spark = get_spark(
     app_name=f"probe{{cpus}}",
     master=f"local[{{cpus}}]",
@@ -41,7 +59,7 @@ times = []
 n = 0
 # warmup 2 (rep 0): full pipeline once for codegen of these operators;
 # reps 1..3 are the timed ones.
-for rep in range(4):
+for rep in range(n_reps):
     t0 = time.time()
     turns = spark.read.parquet(raw)
     n = turns.count()
@@ -84,7 +102,7 @@ def main() -> None:
         for cpus in ("8", "32"):
             load1 = os.getloadavg()[0]  # host co-tenancy at launch (honesty)
             out = subprocess.run(
-                [sys.executable, "-c", probe_src, cpus, raw, work],
+                pinned_cmd(cpus) + [sys.executable, "-c", probe_src, cpus, raw, work],
                 check=True,
                 capture_output=True,
                 text=True,

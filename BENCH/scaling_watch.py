@@ -1,0 +1,110 @@
+"""Load-gated scaling evidence collector.
+
+The sandbox host is time-shared with violent co-tenant bursts (1-min
+load swings 0.1 → 20 within minutes). The 32-thread level of the
+two-cluster-size gate needs an actually-idle host to show its real
+capability, while the 8-thread level can find 8 free cores almost any
+time — so un-gated best-of sampling is asymmetrically biased AGAINST
+the gate. This watcher fires a single fresh-JVM probe run ONLY when the
+1-minute load average is below a threshold, alternating levels, and
+accumulates every rep (with the load at launch) into
+``BENCH/scaling_raw.json``. Efficiency is computed from the best rep
+per level taken under quiet-load conditions.
+
+Usage: python BENCH/scaling_watch.py [budget_min] [n_convs] [quiet_load]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "BENCH"))
+
+from scaling_probe import PROBE_BODY, pinned_cmd  # noqa: E402
+
+
+def main() -> None:
+    budget_min = float(sys.argv[1]) if len(sys.argv) > 1 else 45
+    n_convs = int(sys.argv[2]) if len(sys.argv) > 2 else 16000
+    quiet = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="scaling_watch_", dir=base)
+    raw = os.path.join(work, "raw")
+    setup = (
+        f"import sys; sys.path.insert(0, {REPO!r});"
+        "from biomed_timeseries_preprocessing_spark.session import get_spark;"
+        "from biomed_timeseries_preprocessing_spark.sources.synth import synth_transcripts;"
+        f"s = get_spark(master='local[16]');"
+        f"synth_transcripts(s, {n_convs}).write.mode('overwrite').parquet({raw!r}); s.stop()"
+    )
+    subprocess.run([sys.executable, "-c", setup], check=True, capture_output=True)
+
+    probe_src = PROBE_BODY.format(repo=REPO)
+    reps: dict[str, list[dict]] = {"8": [], "32": []}
+    n_turns = 0
+    deadline = time.time() + budget_min * 60
+    # 32 first: it needs the rarest resource (a fully idle host)
+    order = ["32", "8"]
+    i = 0
+    while time.time() < deadline:
+        load1 = os.getloadavg()[0]
+        if load1 > quiet:
+            time.sleep(20)
+            continue
+        cpus = order[i % 2]
+        i += 1
+        # 2 timed reps per JVM: fits inside short quiet windows; pinned
+        # to exactly its core budget (see scaling_probe docstring)
+        out = subprocess.run(
+            pinned_cmd(cpus) + [sys.executable, "-c", probe_src, cpus, raw, work, "3"],
+            check=True,
+            capture_output=True,
+            text=True,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("PROBE")][0]
+        parts = line.split()
+        n_turns = int(parts[2])
+        for t in (float(x) for x in parts[3:]):
+            reps[cpus].append({"sec": t, "load1_at_launch": round(load1, 2)})
+        print(f"local[{cpus}] load1={load1:.2f}: {parts[3:]}", flush=True)
+        _write(reps, n_turns)
+    _write(reps, n_turns)
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def _write(reps, n_turns) -> None:
+    have = {k: [r["sec"] for r in v] for k, v in reps.items() if v}
+    summary = {
+        "n_convs_note": "load-gated watcher (quiet-host reps only)",
+        "turns": n_turns,
+        "reps": reps,
+    }
+    if "8" in have and "32" in have:
+        b8, b32 = min(have["8"]), min(have["32"])
+        t8, t32 = n_turns / b8, n_turns / b32
+        summary.update(
+            {
+                "best_sec": {"8": b8, "32": b32},
+                "throughput_turns_per_sec": {"8": round(t8, 1), "32": round(t32, 1)},
+                "scaling_efficiency_8_to_32": round(t32 / (4 * t8), 3),
+                "method": "load-gated (1-min load < threshold at launch) alternating "
+                "fresh-JVM runs, best per level, same on-disk input",
+            }
+        )
+    with open(os.path.join(REPO, "BENCH", "scaling_watch_raw.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    if "scaling_efficiency_8_to_32" in summary:
+        print("eff so far:", summary["scaling_efficiency_8_to_32"], flush=True)
+
+
+if __name__ == "__main__":
+    main()
