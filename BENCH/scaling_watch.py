@@ -11,7 +11,10 @@ accumulates every rep (with the load at launch) into
 ``BENCH/scaling_raw.json``. Efficiency is computed from the best rep
 per level taken under quiet-load conditions.
 
-Usage: python BENCH/scaling_watch.py [budget_min] [n_convs] [quiet_load]
+Usage: python BENCH/scaling_watch.py [budget_min] [n_convs] [quiet_load] [levels]
+``levels`` is "N,4N" core counts (default "8,32"). On afternoons with a
+sustained ~6-core co-tenant, "4,16" keeps both pinned levels inside the
+actually-available cores — the north rule allows any N vs 4N.
 """
 
 from __future__ import annotations
@@ -33,6 +36,8 @@ def main() -> None:
     budget_min = float(sys.argv[1]) if len(sys.argv) > 1 else 45
     n_convs = int(sys.argv[2]) if len(sys.argv) > 2 else 16000
     quiet = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    levels = (sys.argv[4] if len(sys.argv) > 4 else "8,32").split(",")
+    lo, hi = levels[0], levels[1]
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="scaling_watch_", dir=base)
@@ -47,11 +52,11 @@ def main() -> None:
     subprocess.run([sys.executable, "-c", setup], check=True, capture_output=True)
 
     probe_src = PROBE_BODY.format(repo=REPO)
-    reps: dict[str, list[dict]] = {"8": [], "32": []}
+    reps: dict[str, list[dict]] = {lo: [], hi: []}
     n_turns = 0
     deadline = time.time() + budget_min * 60
     # 32 first: it needs the rarest resource (a fully idle host)
-    order = ["32", "8"]
+    order = [hi, lo]
     i = 0
     while time.time() < deadline:
         load1 = os.getloadavg()[0]
@@ -74,36 +79,37 @@ def main() -> None:
         for t in (float(x) for x in parts[3:]):
             reps[cpus].append({"sec": t, "load1_at_launch": round(load1, 2)})
         print(f"local[{cpus}] load1={load1:.2f}: {parts[3:]}", flush=True)
-        _write(reps, n_turns)
-    _write(reps, n_turns)
+        _write(reps, n_turns, lo, hi)
+    _write(reps, n_turns, lo, hi)
     import shutil
 
     shutil.rmtree(work, ignore_errors=True)
 
 
-def _write(reps, n_turns) -> None:
+def _write(reps, n_turns, lo="8", hi="32") -> None:
     have = {k: [r["sec"] for r in v] for k, v in reps.items() if v}
     summary = {
         "n_convs_note": "load-gated watcher (quiet-host reps only)",
         "turns": n_turns,
         "reps": reps,
     }
-    if "8" in have and "32" in have:
-        b8, b32 = min(have["8"]), min(have["32"])
-        t8, t32 = n_turns / b8, n_turns / b32
+    if lo in have and hi in have:
+        b_lo, b_hi = min(have[lo]), min(have[hi])
+        t_lo, t_hi = n_turns / b_lo, n_turns / b_hi
         summary.update(
             {
-                "best_sec": {"8": b8, "32": b32},
-                "throughput_turns_per_sec": {"8": round(t8, 1), "32": round(t32, 1)},
-                "scaling_efficiency_8_to_32": round(t32 / (4 * t8), 3),
+                "levels": {"N": int(lo), "4N": int(hi)},
+                "best_sec": {lo: b_lo, hi: b_hi},
+                "throughput_turns_per_sec": {lo: round(t_lo, 1), hi: round(t_hi, 1)},
+                "scaling_efficiency_N_to_4N": round(t_hi / (4 * t_lo), 3),
                 "method": "load-gated (1-min load < threshold at launch) alternating "
-                "fresh-JVM runs, best per level, same on-disk input",
+                "CPU-pinned fresh-JVM runs, best per level, same on-disk input",
             }
         )
     with open(os.path.join(REPO, "BENCH", "scaling_watch_raw.json"), "w") as f:
         json.dump(summary, f, indent=2)
-    if "scaling_efficiency_8_to_32" in summary:
-        print("eff so far:", summary["scaling_efficiency_8_to_32"], flush=True)
+    if "scaling_efficiency_N_to_4N" in summary:
+        print("eff so far:", summary["scaling_efficiency_N_to_4N"], flush=True)
 
 
 if __name__ == "__main__":

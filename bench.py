@@ -59,7 +59,7 @@ DRIVER_QUERY_SAMPLE = [
     "codec_roundtrip",
 ]
 
-HEADLINE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+HEADLINE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
 
 
 def run_headline(spark, raw_path: str, work: str) -> tuple[float, int, int]:
