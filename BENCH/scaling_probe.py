@@ -55,21 +55,22 @@ spark = get_spark(
 # warmup 1: the first job in a fresh JVM pays 50-100s of JIT/codegen
 # compilation — never time it.
 spark.range(1_000_000).count()
+# row count reported once, OUTSIDE the timed region (round-2 finding:
+# per-rep counts + read-back counts added ~14 s of Amdahl serial to a
+# 23 s flow, capping measurable efficiency at ~0.35 regardless of the
+# engine — the gate measures the 4 tier-materialization jobs only)
+n = spark.read.parquet(raw).count()
 times = []
-n = 0
 # warmup 2 (rep 0): full pipeline once for codegen of these operators;
-# reps 1..3 are the timed ones.
+# reps 1..n are the timed ones.
 for rep in range(n_reps):
     t0 = time.time()
     turns = spark.read.parquet(raw)
-    n = turns.count()
-    df = None
     for i, tier in enumerate(TIER_ORDER):
         src = with_derived(turns) if i == 0 else spark.read.parquet(os.path.join(work, f"t{{TIER_ORDER[i-1]}}_{{cpus}}"))
         df = rollup_from_turns(src, tier) if i == 0 else rollup_merge(src, tier)
         p = os.path.join(work, f"t{{tier}}_{{cpus}}")
         df.write.mode("overwrite").parquet(p)
-        spark.read.parquet(p).count()
     if rep > 0:
         times.append(time.time() - t0)
 print(f"PROBE {{cpus}} {{n}} " + " ".join(f"{{t:.3f}}" for t in times))

@@ -11,10 +11,12 @@ accumulates every rep (with the load at launch) into
 ``BENCH/scaling_raw.json``. Efficiency is computed from the best rep
 per level taken under quiet-load conditions.
 
-Usage: python BENCH/scaling_watch.py [budget_min] [n_convs] [quiet_load] [levels]
+Usage: python BENCH/scaling_watch.py [budget_min] [n_convs] [quiet_load] [levels] [work_dir]
 ``levels`` is "N,4N" core counts (default "8,32"). On afternoons with a
 sustained ~6-core co-tenant, "4,16" keeps both pinned levels inside the
 actually-available cores — the north rule allows any N vs 4N.
+``work_dir`` reuses an existing scratch dir whose ``raw/`` input was
+already generated (restart without paying setup again).
 """
 
 from __future__ import annotations
@@ -32,6 +34,24 @@ sys.path.insert(0, os.path.join(REPO, "BENCH"))
 from scaling_probe import PROBE_BODY, pinned_cmd  # noqa: E402
 
 
+def busy_frac(interval_sec: float = 3.0) -> float:
+    """Fraction of total CPU time NOT idle over the interval, from
+    /proc/stat deltas. On this sandbox loadavg counts D-state (measured
+    loadavg 12 at 99.9% idle), so gating probe launches on loadavg
+    starves the watcher on a free host — the busy fraction is the real
+    contention signal."""
+
+    def snap() -> tuple[int, int]:
+        with open("/proc/stat") as f:
+            v = list(map(int, f.readline().split()[1:]))
+        return sum(v), v[3]
+
+    t0, i0 = snap()
+    time.sleep(interval_sec)
+    t1, i1 = snap()
+    return 1.0 - (i1 - i0) / max(t1 - t0, 1)
+
+
 def main() -> None:
     budget_min = float(sys.argv[1]) if len(sys.argv) > 1 else 45
     n_convs = int(sys.argv[2]) if len(sys.argv) > 2 else 16000
@@ -39,17 +59,22 @@ def main() -> None:
     levels = (sys.argv[4] if len(sys.argv) > 4 else "8,32").split(",")
     lo, hi = levels[0], levels[1]
 
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    work = tempfile.mkdtemp(prefix="scaling_watch_", dir=base)
-    raw = os.path.join(work, "raw")
-    setup = (
-        f"import sys; sys.path.insert(0, {REPO!r});"
-        "from biomed_timeseries_preprocessing_spark.session import get_spark;"
-        "from biomed_timeseries_preprocessing_spark.sources.synth import synth_transcripts;"
-        f"s = get_spark(master='local[16]');"
-        f"synth_transcripts(s, {n_convs}).write.mode('overwrite').parquet({raw!r}); s.stop()"
-    )
-    subprocess.run([sys.executable, "-c", setup], check=True, capture_output=True)
+    reuse = sys.argv[5] if len(sys.argv) > 5 else None
+    if reuse:
+        work = reuse
+        raw = os.path.join(work, "raw")
+    else:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        work = tempfile.mkdtemp(prefix="scaling_watch_", dir=base)
+        raw = os.path.join(work, "raw")
+        setup = (
+            f"import sys; sys.path.insert(0, {REPO!r});"
+            "from biomed_timeseries_preprocessing_spark.session import get_spark;"
+            "from biomed_timeseries_preprocessing_spark.sources.synth import synth_transcripts;"
+            f"s = get_spark(master='local[16]');"
+            f"synth_transcripts(s, {n_convs}).write.mode('overwrite').parquet({raw!r}); s.stop()"
+        )
+        subprocess.run([sys.executable, "-c", setup], check=True, capture_output=True)
 
     probe_src = PROBE_BODY.format(repo=REPO)
     reps: dict[str, list[dict]] = {lo: [], hi: []}
@@ -59,10 +84,15 @@ def main() -> None:
     order = [hi, lo]
     i = 0
     while time.time() < deadline:
-        load1 = os.getloadavg()[0]
-        if load1 > quiet:
-            time.sleep(20)
+        # gate on REAL CPU contention (/proc/stat busy fraction), not
+        # loadavg (D-state-polluted on this host); `quiet` is interpreted
+        # as a busy-core count: fire when busy cores < quiet
+        bf = busy_frac(3.0)
+        ncpu = os.cpu_count() or 32
+        if bf * ncpu > quiet:
+            time.sleep(15)
             continue
+        load1 = os.getloadavg()[0]
         cpus = order[i % 2]
         i += 1
         # 2 timed reps per JVM: fits inside short quiet windows; pinned
@@ -77,13 +107,23 @@ def main() -> None:
         parts = line.split()
         n_turns = int(parts[2])
         for t in (float(x) for x in parts[3:]):
-            reps[cpus].append({"sec": t, "load1_at_launch": round(load1, 2)})
-        print(f"local[{cpus}] load1={load1:.2f}: {parts[3:]}", flush=True)
+            reps[cpus].append(
+                {
+                    "sec": t,
+                    "busy_cores_at_launch": round(bf * ncpu, 2),
+                    "load1_at_launch": round(load1, 2),
+                }
+            )
+        print(
+            f"local[{cpus}] busy_cores={bf * ncpu:.2f} load1={load1:.2f}: {parts[3:]}",
+            flush=True,
+        )
         _write(reps, n_turns, lo, hi)
     _write(reps, n_turns, lo, hi)
-    import shutil
+    if not reuse:  # a reused dir may serve further restarts
+        import shutil
 
-    shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _write(reps, n_turns, lo="8", hi="32") -> None:

@@ -1,14 +1,18 @@
 """Benchmark runner (driver contract).
 
-Headline: the north-rule pipeline — transcripts parquet → derive →
-1m→5m→1h→1d tiered rollup, every tier materialized — measured as
-turns/sec at the SF implied by $SPARK_GRAFT_SF_DIR (default sf0.1),
-on local[$SPARK_GRAFT_CPUS] (default 32).
+Headline: the SHIPPED north-rule pipeline — ``jobs/rollup_job.run``
+(bucket-partitioned staging scan, gap-fill + text-equality guard,
+derive, 1m→5m→1h→1d tiered rollup, snapshot-catalog commits, batched
+lineage) over a synthetic transcript lake — measured as turns/sec at
+the SF implied by $SPARK_GRAFT_SF_DIR (default sf0.1), on
+local[$SPARK_GRAFT_CPUS] (default 32). ``inline_cascade_sec`` keeps the
+round-1/2 derive→tiers inline loop for cross-round comparability.
 
 The sandbox host's CPU is heavily time-shared (identical in-process runs
-vary 3s..110s), so the headline is **best of 3 repetitions** — the
-repeatable hardware capability, not the co-tenant lottery. Per-query
-timings are best of 2.
+vary 3s..110s), so the headline is **best of N repetitions** (default 4)
+— the repeatable hardware capability, not the co-tenant lottery. Per-query
+timings are best of 4 (round-2 lesson: 2 reps could not separate a 12×
+co-tenant artifact from a real regression).
 
 Prints ONE JSON line:
   {"metric": "...", "value": <headline seconds>, "unit": "sec",
@@ -60,24 +64,48 @@ DRIVER_QUERY_SAMPLE = [
 ]
 
 HEADLINE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
+QUERY_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPS", "4"))
 
 
-def run_headline(spark, raw_path: str, work: str) -> tuple[float, int, int]:
+def run_inline_cascade(spark, raw_path: str, work: str) -> float:
+    """Round-1/2 comparable number: derive → 4 materialized tiers,
+    no audit counts in the timed region (they were pure driver serial)."""
     t0 = time.time()
     turns = spark.read.parquet(raw_path)
-    n_turns = turns.count()
-    derived = with_derived(turns)
-    df = None
-    points = 0
     for i, tier in enumerate(TIER_ORDER):
         src = (
-            derived if i == 0 else spark.read.parquet(os.path.join(work, f"tier_{TIER_ORDER[i-1]}"))
+            with_derived(turns)
+            if i == 0
+            else spark.read.parquet(os.path.join(work, f"tier_{TIER_ORDER[i-1]}"))
         )
         df = rollup_from_turns(src, tier) if i == 0 else rollup_merge(src, tier)
-        out_path = os.path.join(work, f"tier_{tier}")
-        df.write.mode("overwrite").parquet(out_path)
-        points += spark.read.parquet(out_path).count()
-    return time.time() - t0, n_turns, points
+        df.write.mode("overwrite").parquet(os.path.join(work, f"tier_{tier}"))
+    return time.time() - t0
+
+
+def run_job_headline(spark, raw_path: str, work: str, rep: int) -> float:
+    """The shipped path: jobs/rollup_job.run with gap-fill, staging,
+    catalog commits and lineage — a fresh run-id per rep so resume never
+    short-circuits the work."""
+    from jobs.rollup_job import parse_args, run
+
+    wh = os.path.join(work, f"wh_rep{rep}")
+    t0 = time.time()
+    run(
+        parse_args(
+            [
+                "--source", raw_path,
+                "--warehouse", wh,
+                "--run-id", f"bench-rep{rep}",
+                "--buckets", "8",
+                "--gapfill",
+            ]
+        ),
+        spark=spark,
+    )
+    el = time.time() - t0
+    shutil.rmtree(wh, ignore_errors=True)
+    return el
 
 
 def main() -> None:
@@ -96,17 +124,27 @@ def main() -> None:
         raw_path = os.path.join(work, "transcripts")
         synth_transcripts(spark, n_convs).write.mode("overwrite").parquet(raw_path)
 
+        n_turns = spark.read.parquet(raw_path).count()
+
         times = []
-        for _ in range(HEADLINE_REPS):
-            headline, n_turns, points = run_headline(spark, raw_path, work)
-            times.append(headline)
+        for rep in range(HEADLINE_REPS):
+            times.append(run_job_headline(spark, raw_path, work, rep))
         best = min(times)
+
+        inline_times = [
+            run_inline_cascade(spark, raw_path, work) for _ in range(HEADLINE_REPS)
+        ]
+        inline_best = min(inline_times)
+        points = sum(
+            spark.read.parquet(os.path.join(work, f"tier_{t}")).count()
+            for t in TIER_ORDER
+        )
 
         queries: dict[str, float] = {}
         for name in DRIVER_QUERY_SAMPLE:
             fn = driver_queries.QUERIES[name]
             reps = []
-            for _ in range(2):
+            for _ in range(QUERY_REPS):
                 tq = time.time()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 reps.append(time.time() - tq)
@@ -128,7 +166,7 @@ def main() -> None:
         decode_sec = min(dec_times)
 
         out = {
-            "metric": "ingest_to_tiered_rollup_seconds",
+            "metric": "rollup_job_full_pipeline_seconds",
             "value": round(best, 3),
             "unit": "sec",
             "queries": queries,
@@ -137,6 +175,9 @@ def main() -> None:
             "turns": n_turns,
             "rollup_points": points,
             "turns_per_sec": round(n_turns / best, 1),
+            "inline_cascade_sec": round(inline_best, 3),
+            "inline_turns_per_sec": round(n_turns / inline_best, 1),
+            "inline_reps_sec": [round(t, 2) for t in inline_times],
             "decode_sec": round(decode_sec, 3),
             "decode_turns_per_sec": round(n_turns / decode_sec, 1),
             "headline_reps_sec": [round(t, 2) for t in times],

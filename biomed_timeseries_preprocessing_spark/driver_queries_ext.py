@@ -383,7 +383,14 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("minhash_neardup_docs")  # xxhash64-based; determinism covered in pytest
 def minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_dedup(docs, threshold=0.5)
+    # max_bucket_size caps the quadratic blowup of a degenerate LSH
+    # bucket (boilerplate shingles / exact-dup clusters). 256 is far
+    # above any honest bucket on this corpus, so the result set is
+    # unchanged at test SFs (test_dedup_text_sim asserts both the
+    # no-op-here property and that a planted boilerplate bucket IS
+    # dropped); at 100 TB this is the guard that keeps the self-join
+    # from exploding.
+    return minhash_dedup(docs, threshold=0.5, max_bucket_size=256)
 
 
 @q("simhash_docs")

@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 STFT_SCHEMA = "conv_id string, frame_idx int, freq_bin int, power_db double"
 
@@ -70,19 +71,33 @@ PARSEVAL_SCHEMA = "conv_id string, frame_idx int, parseval_ratio double"
 
 
 def stft_parseval(
-    series: DataFrame, frame: int = 32, hop: int = 16, value_col: str = "value"
+    series: DataFrame,
+    frame: int = 32,
+    hop: int = 16,
+    value_col: str = "value",
+    max_frames: int | None = None,
 ) -> DataFrame:
     """Per-frame Parseval identity check of the STFT path: for the real
     FFT, |X_0|² + |X_{N/2}|² + 2·Σ_{0<k<N/2}|X_k|²  ==  N · Σ_n (w_n x_n)².
     Emits the ratio of the two sides (rounded to 9 decimals → exactly 1.0
     when the FFT is correct), keyed by the same (conv, frame) grid as
     ``stft_series`` — which makes the frame-alignment arithmetic AND the
-    spectral math SQL-oracle-checkable without an FFT in the oracle."""
+    spectral math SQL-oracle-checkable without an FFT in the oracle.
+
+    ``max_frames`` bounds output (and compute) to the first N frames per
+    conversation — a verification query doesn't need every frame of a
+    pathologically long series; the bound is applied to the INPUT rows
+    too, so capped frames are never shuffled into the kernel."""
+    if max_frames is not None:
+        # frames 0..max_frames-1 read samples idx < hop*(max_frames-1)+frame
+        series = series.filter(F.col("idx") < hop * (max_frames - 1) + frame)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("idx", kind="mergesort")
         x = pdf[value_col].to_numpy(dtype=np.float64)
         n = (len(x) - frame) // hop + 1 if len(x) >= frame else 0
+        if max_frames is not None:
+            n = min(n, max_frames)
         if n <= 0:
             return pd.DataFrame(columns=["conv_id", "frame_idx", "parseval_ratio"])
         idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
@@ -108,8 +123,6 @@ def per_bin_stats(stft: DataFrame) -> DataFrame:
     """Per-frequency-bin mean/std over all frames — the reference's
     per-bin STFT metrics (``edf_reader.py:385-390``, vectors of length
     nperseg/2+1 in ``File_Struct.py:343``)."""
-    from pyspark.sql import functions as F
-
     return stft.groupBy("freq_bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("power_db").alias("mean_db"),

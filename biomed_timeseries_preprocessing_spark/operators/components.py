@@ -41,11 +41,14 @@ def shared_shingle_pairs(
     pair with Jaccard > 0), verified with exact integer Jaccard.
 
     ``df_cap`` drops shingles whose document frequency exceeds the cap
-    from candidate generation (the standard guard against a boilerplate
-    shingle exploding the self-join quadratically). Capped generation can
-    miss pairs whose only shared shingles are ubiquitous — leave it None
-    when exactness is required (e.g. oracle comparison); at 100 TB set a
-    cap and/or use the MinHash-LSH path for candidates.
+    from CANDIDATE GENERATION ONLY (the standard guard against a
+    boilerplate shingle exploding the self-join quadratically); the
+    Jaccard itself is always counted against the FULL shingle sets, so
+    every reported similarity is exact — the cap can only lose pairs
+    whose *every* shared shingle is ubiquitous, never skew a surviving
+    pair's score. Leave it None when exhaustiveness is required (e.g.
+    oracle comparison); at 100 TB set a cap and/or use the MinHash-LSH
+    path for candidates.
     """
     sh = shingled
     if df_cap is not None:
@@ -57,17 +60,36 @@ def shared_shingle_pairs(
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = (
+    cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
+    if df_cap is None:
+        # uncapped: the capped index IS the full index, so intersection
+        # counts straight off the self-join (no second pass needed)
+        inter = cand.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_inter"))
+    else:
+        # capped: count n_inter by joining distinct candidate pairs back
+        # to the FULL shingle sets (mirrors jaccard_verify in the LSH
+        # path) so jaccard is exact even when the candidate index dropped
+        # high-df shingles
+        inter = (
+            cand.distinct()
+            .join(shingled.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            .join(
+                shingled.select(
+                    F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b")
+                ),
+                "doc_b",
+            )
+            .filter(F.col("shingle") == F.col("shingle_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     out = (
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
@@ -100,14 +122,25 @@ def connected_components(
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
     labels = labels.localCheckpoint(eager=True)
 
+    # convergence test: for integral ids, labels are monotonically
+    # non-increasing under min-propagation, so an unchanged exact
+    # decimal(38,0) sum ⟺ fixed point — one aggregate per round. That
+    # cast THROWS on string ids under Spark 4 ANSI (and NULLs out on
+    # non-ANSI, "converging" wrongly after one round), so non-integral
+    # ids use an any-label-changed check (join vs previous labels,
+    # limit(1) for early exit) instead; min() itself is well-defined on
+    # any orderable type, so the propagation needs no change.
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = isinstance(
+        nodes.schema[id_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    )
+
     def _label_sum(df) -> int:
-        # labels are monotonically non-increasing under min-propagation,
-        # so an unchanged exact sum ⟺ a fixed point — one aggregate
-        # instead of a join-with-previous-labels per round
         row = df.select(F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")).collect()[0]
         return int(row["s"] or 0)
 
-    prev_sum = _label_sum(labels)
+    prev_sum = _label_sum(labels) if integral else None
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels.withColumnRenamed("id", "d"), "d")
@@ -128,11 +161,24 @@ def connected_components(
             )
             .select("id", F.coalesce("_lbl2", "lbl").alias("lbl"))
         )
-        labels = jumped.localCheckpoint(eager=True)
-        cur_sum = _label_sum(labels)
-        if cur_sum == prev_sum:
+        new_labels = jumped.localCheckpoint(eager=True)
+        if integral:
+            cur_sum = _label_sum(new_labels)
+            done = cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            done = (
+                new_labels.join(
+                    labels.select("id", F.col("lbl").alias("_prev")), "id"
+                )
+                .filter(F.col("lbl") != F.col("_prev"))
+                .limit(1)
+                .count()
+                == 0
+            )
+        labels = new_labels
+        if done:
             return labels.select("id", F.col("lbl").alias("component"))
-        prev_sum = cur_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

@@ -124,6 +124,12 @@ def lsh_topk(
     Scale shape: the band join is an equi-join on (band, val) buckets —
     probes only multiply the broadcast query side (bands × (1 +
     rows_per_band) rows per query), never the big side."""
+    if n_planes % bands != 0:
+        raise ValueError(
+            f"n_planes ({n_planes}) must be divisible by bands ({bands}): "
+            "a remainder would silently drop the top n_planes % bands "
+            "signature bits from every band, weakening recall"
+        )
     rpb = n_planes // bands
     e = with_lsh_signature(
         embeddings.select(F.col(id_col).alias("nbr_id"), F.col(vec_col)), vec_col, dim, n_planes

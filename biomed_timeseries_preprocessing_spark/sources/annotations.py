@@ -93,14 +93,24 @@ def tsv_annotations_to_intervals(
     min_duration_sec: float | None = None,
     max_duration_sec: float | None = None,
     background_headfill: bool = True,
+    file_duration_sec: float | None = None,
 ) -> DataFrame:
     """TSV annotation file → label intervals (S5), with the duration
-    filter variant (S6) and the reference's Background head-fill."""
+    filter variant (S6) and the reference's Background head-fill.
+
+    ``file_duration_sec`` enables the reference's empty-parse fallback
+    (Extract_Labels_TSV.get_labels appends a [0, file_duration]
+    Background interval when no valid label rows parse): when set and
+    the parsed interval set is empty, a single all-Background interval
+    covering the recording is emitted instead of an empty frame."""
     raw = spark.read.csv(path, sep="\t", schema=TSV_SCHEMA, header=False)
-    # annotation files are per-recording and tiny: the global orderBy
-    # window below intentionally runs single-partition (file order IS the
-    # row semantics here, as in the reference's line-indexed parse)
+    # annotation files are per-recording and tiny: file order IS the row
+    # semantics (the reference's line-indexed parse), so the read is
+    # explicitly coalesced to ONE partition — monotonically_increasing_id
+    # is only order-stable within a partition, and a multi-split read
+    # would otherwise silently scramble skip_rows
     w = Window.orderBy(F.monotonically_increasing_id())
+    raw = raw.coalesce(1)
     rows = raw.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") > skip_rows)
     iv = (
         rows.filter(
@@ -135,7 +145,57 @@ def tsv_annotations_to_intervals(
             )
         )
         iv = iv.unionByName(head)
+    if file_duration_sec is not None:
+        fallback = spark.createDataFrame(
+            [(record_id, 0.0, float(file_duration_sec), "Background")],
+            "record_id string, start_sec double, end_sec double, label string",
+        )
+        # emit the fallback row only when iv parsed empty: anti-join on an
+        # always-true condition removes it as soon as iv has any row
+        # (stays lazy — no eager count of the interval frame)
+        fallback = fallback.join(
+            iv.select(F.lit(1).alias("_one")).limit(1), F.lit(True), "left_anti"
+        )
+        iv = iv.unionByName(fallback)
     return iv
+
+
+def edfplus_tal_to_intervals(
+    tals: DataFrame, id_col: str = "record_id", tal_col: str = "tal"
+) -> DataFrame:
+    """S7: EDF+ embedded annotations → label intervals.
+
+    The reference reads these with ``mne.read_annotations`` and walks
+    (onset, duration, description) triples
+    (``Extract_Transform_Labeler.py:197-222``). The EDF *container* is
+    out of scope for a lake engine (COVERAGE.md), but the annotation
+    payload itself — the EDF+ TAL stream (Kemp & Olivan 2003, public
+    spec): ``+onset[␕duration]␔label[␔label…]␔␀`` — is plain text this
+    adapter parses JVM-side: split on the ␀ terminator, explode,
+    regexp the onset/duration header, posexplode the ␔-separated labels
+    (pos 0 is the header; empty labels are the timekeeping TALs that
+    merely mark record starts and carry no annotation). Gap/exclude
+    maps come from ``xml_exclude_map`` on the result, exactly like the
+    reference's ``previous_end != start_ann`` walk."""
+    t = tals.select(
+        F.col(id_col).alias("record_id"),
+        F.explode(F.split(F.col(tal_col), "\x00")).alias("t"),
+    ).filter(F.length("t") > 0)
+    onset = F.regexp_extract("t", r"^([+-][0-9.]+)", 1).cast("double")
+    dur = F.coalesce(
+        F.nullif(F.regexp_extract("t", "\x15([0-9.]+)", 1), F.lit("")).cast("double"),
+        F.lit(0.0),
+    )
+    return (
+        t.select(
+            "record_id",
+            onset.alias("start_sec"),
+            (onset + dur).alias("end_sec"),
+            F.posexplode(F.split(F.col("t"), "\x14")).alias("pos", "label"),
+        )
+        .filter((F.col("pos") >= 1) & (F.col("label") != "") & F.col("start_sec").isNotNull())
+        .select("record_id", "start_sec", "end_sec", "label")
+    )
 
 
 def anchored(intervals: DataFrame, start_ts) -> DataFrame:

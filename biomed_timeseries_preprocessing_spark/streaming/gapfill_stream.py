@@ -22,8 +22,18 @@ Semantics mirrored from the batch operator exactly:
 Turns are assumed in turn_idx order per conversation across batches
 (the transcript ingest contract); a late turn with
 ``turn_idx <= last_idx`` passes through unfilled rather than rewriting
-history. No timeout is registered — state is one small tuple per
-conversation; production jobs can add a TTL to GC idle conversations.
+history.
+
+State GC: by default no timeout is registered (state is one small tuple
+per conversation, and the sandbox's ``processAllAvailable`` hangs when a
+ProcessingTimeTimeout is registered — NOTES_r2). Pass ``state_ttl_sec``
+to register an EVENT-TIME timeout instead: a conversation idle past the
+TTL (watermark passes last-event-ts + TTL) has its state dropped, so at
+stream scale state size tracks *active* conversations, not all
+conversations ever seen. An expired conversation that later resumes is
+treated as a fresh head (no fill across the expiry) — the same
+no-head-extrapolation rule the batch operator applies at its own data
+boundary.
 """
 
 from __future__ import annotations
@@ -65,11 +75,15 @@ GAPFILL_STATE = StructType(
 )
 
 
-def _make_fill_group(default_text: str):
+def _make_fill_group(default_text: str, state_ttl_sec: int | None = None):
     def _fill_group(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (conv_id,) = key
+        if state_ttl_sec is not None and state.hasTimedOut:
+            # idle past the TTL: GC the conversation's state, emit nothing
+            state.remove()
+            return
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
             "turn_idx", kind="mergesort"
         )
@@ -102,6 +116,11 @@ def _make_fill_group(default_text: str):
                  pd.Timestamp(t, unit="us"), False)
             )
         state.update((last_idx, last_us, last_role, last_tool))
+        if state_ttl_sec is not None:
+            # expire when the watermark passes this conversation's last
+            # event time + TTL (event-time semantics: idle means "no new
+            # turns", not "no wall-clock traffic")
+            state.setTimeoutTimestamp(last_us // 1000 + state_ttl_sec * 1000)
         if out:
             yield pd.DataFrame(
                 out,
@@ -111,19 +130,32 @@ def _make_fill_group(default_text: str):
     return _fill_group
 
 
-def streaming_gapfill(turns: DataFrame, default_text: str = "") -> DataFrame:
+def streaming_gapfill(
+    turns: DataFrame,
+    default_text: str = "",
+    state_ttl_sec: int | None = None,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
     """turns stream (conv_id, turn_idx, role, text, tool, ts) → the same
-    rows plus interpolated gap rows, each flagged ``is_gap_filled``."""
-    return (
-        turns.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
-        .groupBy("conv_id")
-        .applyInPandasWithState(
-            _make_fill_group(default_text),
-            GAPFILL_OUT,
-            GAPFILL_STATE,
-            "append",
-            GroupStateTimeout.NoTimeout,
-        )
+    rows plus interpolated gap rows, each flagged ``is_gap_filled``.
+
+    With ``state_ttl_sec`` set, a watermark (``watermark_delay`` of
+    allowed lateness) is applied and per-conversation state expires on
+    event-time TTL — the unbounded-state leak guard for long-running
+    streams. Choose ``watermark_delay`` ≥ the source's real out-of-order
+    bound: rows later than the watermark are dropped by the state store
+    (standard Structured Streaming contract)."""
+    src = turns.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    timeout = GroupStateTimeout.NoTimeout
+    if state_ttl_sec is not None:
+        src = src.withWatermark("ts", watermark_delay)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    return src.groupBy("conv_id").applyInPandasWithState(
+        _make_fill_group(default_text, state_ttl_sec),
+        GAPFILL_OUT,
+        GAPFILL_STATE,
+        "append",
+        timeout,
     )
 
 
@@ -131,10 +163,13 @@ def run_gapfill_to_memory(
     spark: SparkSession,
     turns_path: str,
     query_name: str = "gapfill_stream",
+    state_ttl_sec: int | None = None,
+    watermark_delay: str = "1 hour",
 ) -> DataFrame:
     """Replay a static parquet dir one file per micro-batch through the
-    stateful gap-fill (state must survive batch boundaries). No timeout
-    is registered, so ``processAllAvailable`` terminates normally."""
+    stateful gap-fill (state must survive batch boundaries). Without a
+    TTL no timeout is registered, so ``processAllAvailable`` terminates
+    normally; with a TTL the event-time timeout path is exercised."""
     src = (
         spark.readStream.schema(
             "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
@@ -143,7 +178,7 @@ def run_gapfill_to_memory(
         .parquet(turns_path)
     )
     q = (
-        streaming_gapfill(src)
+        streaming_gapfill(src, state_ttl_sec=state_ttl_sec, watermark_delay=watermark_delay)
         .writeStream.outputMode("append")
         .format("memory")
         .queryName(query_name)

@@ -46,7 +46,7 @@ from biomed_timeseries_preprocessing_spark.operators.rollup import (  # noqa: E4
 from biomed_timeseries_preprocessing_spark.plans.lineage import (  # noqa: E402
     LineageLog,
     bucket_of,
-    frame_checksum,
+    frame_audit,
     pending_buckets,
 )
 from biomed_timeseries_preprocessing_spark.session import get_spark  # noqa: E402
@@ -104,9 +104,14 @@ def run(args, spark=None) -> dict:
     # bucket-partitioned staging write: the only full scan of the input.
     # Every per-bucket read below prunes to one partition directory.
     staging = os.path.join(args.warehouse, "_staging", args.run_id)
+    # the stage marker encodes the bucket modulus: re-running the same
+    # --run-id with a different --buckets must re-stage (staging written
+    # under the old modulus would silently mismatch every per-bucket
+    # read, lineage key, and skew stat below)
+    stage_key = f"all/{args.buckets}"
     stage_done = (
         not args.no_resume
-        and "all" in log.committed(args.run_id, "stage_source")
+        and stage_key in log.committed(args.run_id, "stage_source")
         and os.path.isdir(staging)
     )
     if not stage_done:
@@ -118,7 +123,7 @@ def run(args, spark=None) -> dict:
         log.commit(
             run_id=args.run_id,
             stage="stage_source",
-            partition_key="all",
+            partition_key=stage_key,
             rows_in=n_staged,
             rows_out=n_staged,
             min_ts=None,
@@ -156,13 +161,19 @@ def run(args, spark=None) -> dict:
                     f"text-equality invariant violated for {violations} turns "
                     f"in bucket {b} — refusing to commit (input_hint contract)"
                 )
-            n_filled = filled.filter(F.col("is_gap_filled")).count()
+            # fused: total + filled counts in one action (input rows =
+            # total − filled, since non-filled rows ARE the input rows)
+            c = filled.select(
+                F.count(F.lit(1)).alias("n"),
+                F.count_if(F.col("is_gap_filled")).alias("nf"),
+            ).collect()[0]
+            n_filled = int(c["nf"])
             lineage_rows.append(
                 (
                     args.run_id,
                     "gapfill",
                     str(b),
-                    part.count(),
+                    int(c["n"]) - n_filled,
                     n_filled,
                     None,
                     None,
@@ -184,10 +195,12 @@ def run(args, spark=None) -> dict:
             df = rollup_from_turns(derived, tier) if df is None else rollup_merge(df, tier)
             df = df.persist()  # next tier merges from this materialized one
             persisted.append(df)
-            rows_out = df.count()
-            extent = df.select(
-                F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
-            ).collect()[0]
+            # one fused action per tier (count + extent + checksum) —
+            # these were three separate driver round-trips, serial in
+            # the bucket loop at every cluster size
+            rows_out, lo, hi, checksum = frame_audit(
+                df, ["conv_id", "bucket_start", "cnt", "sum_tokens"], "bucket_start"
+            )
             catalog.overwrite_partitions(f"rollup_{tier}", df, {"bucket": b})
             lineage_rows.append(
                 (
@@ -196,9 +209,9 @@ def run(args, spark=None) -> dict:
                     str(b),
                     rows_in,
                     rows_out,
-                    extent["lo"],
-                    extent["hi"],
-                    frame_checksum(df, ["conv_id", "bucket_start", "cnt", "sum_tokens"]),
+                    lo,
+                    hi,
+                    checksum,
                     int((time.time() - t0) * 1000),
                 )
             )

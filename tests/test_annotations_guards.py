@@ -79,3 +79,67 @@ def test_min_rows_guard(spark):
     assert {r["grp"] for r in kept.collect()} == {"a", "b"}
     d = {r["grp"]: r["n_rows"] for r in dropped.collect()}
     assert d == {"c": 1}  # dropped groups are reportable, not silent
+
+
+def test_edfplus_tal_adapter(spark):
+    """S7: EDF+ TAL stream → intervals; timekeeping TALs (no label) are
+    skipped; multi-label TALs emit one interval per label; missing
+    duration means a zero-length marker."""
+    from biomed_timeseries_preprocessing_spark.sources.annotations import (
+        edfplus_tal_to_intervals,
+        xml_exclude_map,
+    )
+
+    tal = (
+        "+0\x14\x14\x00"                                   # timekeeping only
+        "+30\x15120\x14Sleep stage W\x14\x00"              # onset 30, dur 120
+        "+150\x15300\x14Sleep stage N1\x14Arousal\x14\x00"  # two labels, one span
+        "+600\x14Marker\x14\x00"                           # no duration → len 0
+    )
+    df = spark.createDataFrame([("r1", tal)], "record_id string, tal string")
+    got = {
+        (r["start_sec"], r["end_sec"], r["label"])
+        for r in edfplus_tal_to_intervals(df).collect()
+    }
+    assert got == {
+        (30.0, 150.0, "Sleep stage W"),
+        (150.0, 450.0, "Sleep stage N1"),
+        (150.0, 450.0, "Arousal"),
+        (600.0, 600.0, "Marker"),
+    }
+    # the reference's exclude map (holes between intervals) composes
+    holes = {
+        (r["start_sec"], r["end_sec"])
+        for r in xml_exclude_map(
+            edfplus_tal_to_intervals(df).filter("label != 'Arousal'")
+        ).collect()
+    }
+    assert (0.0, 30.0) in holes and (450.0, 600.0) in holes
+
+
+def test_tsv_empty_parse_background_fallback(spark, tmp_path):
+    """ADVICE fix: an all-comment/'None' TSV with file_duration_sec set
+    yields a single [0, duration] Background interval, not an empty set."""
+    from biomed_timeseries_preprocessing_spark.sources.annotations import (
+        tsv_annotations_to_intervals,
+    )
+
+    p = str(tmp_path / "empty.tsv")
+    with open(p, "w") as f:
+        f.write("# comment line\nNone\tNone\tNone\tx\n")
+    got = tsv_annotations_to_intervals(
+        spark, p, "rec9", file_duration_sec=3600.0
+    ).collect()
+    assert [(r["start_sec"], r["end_sec"], r["label"]) for r in got] == [
+        (0.0, 3600.0, "Background")
+    ]
+    # and a file WITH valid rows does not emit the fallback
+    p2 = str(tmp_path / "ok.tsv")
+    with open(p2, "w") as f:
+        f.write("0\t10\tSeizure\tx\n")
+    got2 = tsv_annotations_to_intervals(
+        spark, p2, "rec9", file_duration_sec=3600.0, background_headfill=False
+    ).collect()
+    assert [(r["start_sec"], r["end_sec"], r["label"]) for r in got2] == [
+        (0.0, 10.0, "Seizure")
+    ]

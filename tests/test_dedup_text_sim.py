@@ -159,3 +159,19 @@ def test_lsh_bucket_size_cap(spark):
     stats = lsh_bucket_stats(sig, bands=8, rows_per_band=4)
     dropped = stats.filter("n_docs > 50").count()
     assert dropped == 8  # the clone cluster's 8 band buckets, reportable
+
+
+def test_minhash_cap_noop_on_real_docs(spark):
+    """The driver query's max_bucket_size=256 must be a pure guard on the
+    test corpus: identical pair set with and without the cap (the cap
+    only ever bites degenerate boilerplate buckets)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plain = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in minhash_dedup(docs, threshold=0.5).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in minhash_dedup(docs, threshold=0.5, max_bucket_size=256).collect()
+    }
+    assert plain == capped and len(plain) > 0
