@@ -66,11 +66,20 @@ times = []
 for rep in range(n_reps):
     t0 = time.time()
     turns = spark.read.parquet(raw)
+    # persist-chained cascade (the rollup_job shape): each merge tier
+    # computes from the PREVIOUS tier's cached partitions — the conv_id
+    # partitioning survives the cache, so the whole 4-tier flow has ONE
+    # exchange and no per-tier re-read (re-reading each tier from
+    # parquet forced a fresh listing + exchange per tier)
+    prev = None
     for i, tier in enumerate(TIER_ORDER):
-        src = with_derived(turns) if i == 0 else spark.read.parquet(os.path.join(work, f"t{{TIER_ORDER[i-1]}}_{{cpus}}"))
-        df = rollup_from_turns(src, tier) if i == 0 else rollup_merge(src, tier)
-        p = os.path.join(work, f"t{{tier}}_{{cpus}}")
-        df.write.mode("overwrite").parquet(p)
+        df = rollup_from_turns(with_derived(turns), tier) if i == 0 else rollup_merge(prev, tier)
+        df = df.persist()
+        df.write.mode("overwrite").parquet(os.path.join(work, f"t{{tier}}_{{cpus}}"))
+        if prev is not None:
+            prev.unpersist()
+        prev = df
+    prev.unpersist()
     if rep > 0:
         times.append(time.time() - t0)
 print(f"PROBE {{cpus}} {{n}} " + " ".join(f"{{t:.3f}}" for t in times))

@@ -69,17 +69,20 @@ QUERY_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPS", "4"))
 
 def run_inline_cascade(spark, raw_path: str, work: str) -> float:
     """Round-1/2 comparable number: derive → 4 materialized tiers,
-    no audit counts in the timed region (they were pure driver serial)."""
+    no audit counts in the timed region (they were pure driver serial),
+    persist-chained so the cascade keeps its single Exchange across the
+    materialization boundaries (the rollup_job shape)."""
     t0 = time.time()
     turns = spark.read.parquet(raw_path)
+    prev = None
     for i, tier in enumerate(TIER_ORDER):
-        src = (
-            with_derived(turns)
-            if i == 0
-            else spark.read.parquet(os.path.join(work, f"tier_{TIER_ORDER[i-1]}"))
-        )
-        df = rollup_from_turns(src, tier) if i == 0 else rollup_merge(src, tier)
+        df = rollup_from_turns(with_derived(turns), tier) if i == 0 else rollup_merge(prev, tier)
+        df = df.persist()
         df.write.mode("overwrite").parquet(os.path.join(work, f"tier_{tier}"))
+        if prev is not None:
+            prev.unpersist()
+        prev = df
+    prev.unpersist()
     return time.time() - t0
 
 

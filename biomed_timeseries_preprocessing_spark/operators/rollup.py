@@ -75,7 +75,15 @@ def rollup_from_turns(derived: DataFrame, tier: str = "1m") -> DataFrame:
     (conv_id, turn_idx, role, text, tool, ts, latency_ms, token_count).
     """
     secs = TIER_SECONDS[tier]
-    order = F.struct(F.col("ts"), F.col("turn_idx"))
+    # ONE max over a struct whose leading fields are the (ts, turn_idx)
+    # ordering — (ts, turn_idx) is unique per conversation, so
+    # lexicographic struct max selects exactly the row the four previous
+    # max_by(col, struct(ts, turn_idx)) aggregates selected, with one
+    # aggregation buffer and one comparison per row instead of four
+    # (the payload fields after the unique prefix are never compared)
+    last = F.struct(
+        F.col("ts"), F.col("turn_idx"), F.col("latency_ms"), F.col("token_count")
+    )
     agg = (
         derived.groupBy("conv_id", bucket_start(F.col("ts"), secs).alias("bucket_start"))
         .agg(
@@ -87,10 +95,15 @@ def rollup_from_turns(derived: DataFrame, tier: str = "1m") -> DataFrame:
             F.sum("token_count").cast("long").alias("sum_tokens"),
             F.min("token_count").alias("min_tokens"),
             F.max("token_count").alias("max_tokens"),
-            F.max_by(F.col("ts"), order).alias("last_ts"),
-            F.max_by(F.col("turn_idx"), order).alias("last_turn_idx"),
-            F.max_by(F.col("latency_ms"), order).alias("last_latency"),
-            F.max_by(F.col("token_count"), order).alias("last_token_count"),
+            F.max(last).alias("_last"),
+        )
+        .select(
+            "conv_id", "bucket_start", "cnt", "n_latency", "sum_latency",
+            "min_latency", "max_latency", "sum_tokens", "min_tokens", "max_tokens",
+            F.col("_last.ts").alias("last_ts"),
+            F.col("_last.turn_idx").alias("last_turn_idx"),
+            F.col("_last.latency_ms").alias("last_latency"),
+            F.col("_last.token_count").alias("last_token_count"),
         )
         .withColumn("tier", F.lit(tier))
     )
@@ -102,7 +115,13 @@ def rollup_merge(tier_df: DataFrame, to_tier: str) -> DataFrame:
     never re-reads raw turns. The File_Struct.py:361-399 count-weighted
     combine, expressed as a Spark partial/final hash aggregate."""
     secs = TIER_SECONDS[to_tier]
-    order = F.struct(F.col("last_ts"), F.col("last_turn_idx"))
+    # same single-struct-max trick as rollup_from_turns: the
+    # (last_ts, last_turn_idx) prefix is unique per conversation, so one
+    # lexicographic max replaces four max_by buffers
+    last = F.struct(
+        F.col("last_ts"), F.col("last_turn_idx"),
+        F.col("last_latency"), F.col("last_token_count"),
+    )
     agg = (
         tier_df.groupBy(
             "conv_id", bucket_start(F.col("bucket_start"), secs).alias("bucket_start")
@@ -116,10 +135,15 @@ def rollup_merge(tier_df: DataFrame, to_tier: str) -> DataFrame:
             F.sum("sum_tokens").alias("sum_tokens"),
             F.min("min_tokens").alias("min_tokens"),
             F.max("max_tokens").alias("max_tokens"),
-            F.max_by(F.col("last_ts"), order).alias("last_ts"),
-            F.max_by(F.col("last_turn_idx"), order).alias("last_turn_idx"),
-            F.max_by(F.col("last_latency"), order).alias("last_latency"),
-            F.max_by(F.col("last_token_count"), order).alias("last_token_count"),
+            F.max(last).alias("_last"),
+        )
+        .select(
+            "conv_id", "bucket_start", "cnt", "n_latency", "sum_latency",
+            "min_latency", "max_latency", "sum_tokens", "min_tokens", "max_tokens",
+            F.col("_last.last_ts").alias("last_ts"),
+            F.col("_last.last_turn_idx").alias("last_turn_idx"),
+            F.col("_last.last_latency").alias("last_latency"),
+            F.col("_last.last_token_count").alias("last_token_count"),
         )
         .withColumn("tier", F.lit(to_tier))
     )
