@@ -100,7 +100,7 @@ def main() -> None:
         "from biomed_timeseries_preprocessing_spark.session import get_spark;"
         "from biomed_timeseries_preprocessing_spark.sources.synth import synth_transcripts;"
         f"s = get_spark(master='local[16]');"
-        f"synth_transcripts(s, {n_convs}).write.mode('overwrite').parquet({raw!r}); s.stop()"
+        f"synth_transcripts(s, {n_convs}).repartition(256).write.mode('overwrite').parquet({raw!r}); s.stop()  # 256 files: the scan must give BOTH pinned levels >=3 well-packed task waves (a ~35-split scan is exactly one wave at 32 cores -- half the slots idle in wave 2)"
     )
     subprocess.run([sys.executable, "-c", setup], check=True, capture_output=True)
 

@@ -140,3 +140,32 @@ def patient_map_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K12: the anonymized patient dim (File_Struct.py:109-112's
     names_dict), deterministic under any partitioning."""
     return patient_map(_classified(spark, sf_dir))
+
+
+# ---------------------------- embedding-cosine near-dup (exact oracle)
+
+from .operators.similarity import embedding_neardup  # noqa: E402
+
+
+@q(
+    "embedding_neardup_pairs",
+    """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT)
+         AS cosine_e6
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.42
+""",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (exact mode for the oracle; the LSH
+    scale path is recall-asserted in pytest). cosine is emitted as
+    floor(c*1e6) so the hash check never rides on engine-specific float
+    formatting of the raw double."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_neardup(emb, dim=64, threshold=0.42, mode="exact")
+    return pairs.select(
+        "id_a", "id_b",
+        F.floor(F.col("cosine") * 1_000_000).cast("long").alias("cosine_e6"),
+    )

@@ -176,3 +176,72 @@ def lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("q_id", F.col("rnk").cast("long").alias("rnk"), "nbr_id", "score")
     )
+
+
+def embedding_neardup(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "lsh",
+    n_planes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine) with
+    cosine ≥ threshold — the vector-space sibling of ``minhash_dedup``
+    (reference analog: the ordered dedup in ``File_Struct.py:101,129-133``
+    keyed on content identity; here identity is geometric).
+
+    ``mode='exact'``: full self-join with the deterministic in-order
+    double dot product — feasible at oracle scale, quadratic at lake
+    scale. ``mode='lsh'``: the 100 TB path — random-hyperplane banded
+    signatures bucket the self-join (two vectors are candidates iff they
+    share any band bucket), then the exact cosine runs on candidates
+    only. ``max_bucket_size`` drops degenerate buckets before the join
+    (same no-silent-caps contract as ``lsh_candidates``).
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    if mode == "exact":
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        rpb = n_planes // bands
+        if n_planes % bands != 0:
+            raise ValueError(f"n_planes ({n_planes}) must be divisible by bands ({bands})")
+        sig = with_lsh_signature(
+            embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col)),
+            vec_col, dim, n_planes,
+        )
+        exploded = sig.select(
+            "vid", F.explode(F.array(*_band_cols(F.col("lsh_sig"), bands, rpb))).alias("bb")
+        ).select("vid", F.col("bb.band").alias("band"), F.col("bb.val").alias("val"))
+        if max_bucket_size is not None:
+            sizes = exploded.groupBy("band", "val").agg(F.count(F.lit(1)).alias("_n"))
+            exploded = exploded.join(
+                sizes.filter(F.col("_n") <= max_bucket_size), ["band", "val"]
+            ).drop("_n")
+        x = exploded.alias("x")
+        y = exploded.alias("y")
+        cand = (
+            x.join(
+                y,
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.val") == F.col("y.val"))
+                & (F.col("x.vid") < F.col("y.vid")),
+            )
+            .select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
+            .distinct()
+        )
+        pairs = (
+            cand.join(a.withColumnRenamed("id_a", "id_a"), "id_a")
+            .join(b, "id_b")
+            .select("id_a", "id_b", "_va", "_vb")
+        )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -175,3 +175,38 @@ def test_minhash_cap_noop_on_real_docs(spark):
         for r in minhash_dedup(docs, threshold=0.5, max_bucket_size=256).collect()
     }
     assert plain == capped and len(plain) > 0
+
+
+def test_embedding_neardup_lsh_recall(spark):
+    """LSH-bucketed embedding near-dup in its design regime (true
+    near-duplicates, cosine >= 0.95): plant a perturbed copy of 50
+    vectors, then the LSH path must recover >=90% of the exact pair set
+    — and can never report a false positive (every candidate is
+    exact-cosine-verified)."""
+    import numpy as np
+
+    from biomed_timeseries_preprocessing_spark.operators.similarity import embedding_neardup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.limit(0).toPandas()  # schema only
+    rows = emb.filter("vec_id < 50").toPandas()
+    planted = []
+    for _, r in rows.iterrows():
+        v = np.asarray(r["embedding"], dtype=np.float32)
+        # deterministic small angular perturbation (~2% of norm)
+        bump = 0.02 * float(np.linalg.norm(v)) / np.sqrt(len(v))
+        v2 = v + np.float32(bump) * np.sign(np.sin(np.arange(len(v)) + int(r["vec_id"])))
+        planted.append((int(r["vec_id"]) + 10_000, [float(x) for x in v2], int(r["label"])))
+    dup = spark.createDataFrame(planted, "vec_id long, embedding array<float>, label int")
+    both = emb.unionByName(dup)
+    assert list(base.columns) == ["vec_id", "embedding", "label"]
+
+    exact = {
+        (r["id_a"], r["id_b"]) for r in embedding_neardup(both, 64, 0.95, mode="exact").collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]) for r in embedding_neardup(both, 64, 0.95, mode="lsh").collect()
+    }
+    assert len(exact) >= 50  # the planted pairs are all near-dups
+    assert lsh <= exact  # exact verification => no false positives
+    assert len(lsh & exact) / len(exact) >= 0.9
