@@ -63,6 +63,18 @@ def get_spark(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g" if n_cores >= 24 else "8g"),
         )
+        # Off-heap execution memory, sized per-core (512m × cores): at 32
+        # threads the on-heap execution pool halves per-task memory vs 8
+        # threads, and the tier-1m sort SPILLED (2.6 GB memory-spill,
+        # 149 MB disk) while the 8-thread level never did — an
+        # asymmetric, GC-coupled penalty. Off-heap removes the spill and
+        # cut measured map-stage GC 130 → 39 core-s at 32 threads. Same
+        # per-core sizing a real executor template uses.
+        .config("spark.memory.offHeap.enabled", "true")
+        .config(
+            "spark.memory.offHeap.size",
+            os.environ.get("SPARK_GRAFT_OFFHEAP", f"{512 * n_cores}m"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
