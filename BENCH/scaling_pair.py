@@ -15,7 +15,7 @@ pinned to cores [N, N+4N) — N+4N ≤ 20 leaves ≥12 cores for co-tenants.
 Efficiency per round uses each JVM's best timed rep; the summary reports
 every round plus the median (robust) and best-round values.
 
-Usage: python BENCH/scaling_pair.py [rounds] [n_convs] [N]
+Usage: python BENCH/scaling_pair.py [rounds] [n_convs] [N] [work_dir]
 """
 
 from __future__ import annotations
@@ -39,9 +39,14 @@ def main() -> None:
     n_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     n_hi = 4 * n_lo
 
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    work = tempfile.mkdtemp(prefix="scaling_pair_", dir=base)
-    raw = os.path.join(work, "raw")
+    reuse = sys.argv[4] if len(sys.argv) > 4 else None
+    if reuse:
+        work, raw = reuse, os.path.join(reuse, "raw")
+        _setup = None
+    else:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        work = tempfile.mkdtemp(prefix="scaling_pair_", dir=base)
+        raw = os.path.join(work, "raw")
     setup = (
         f"import sys; sys.path.insert(0, {REPO!r});"
         "from biomed_timeseries_preprocessing_spark.session import get_spark;"
@@ -49,7 +54,8 @@ def main() -> None:
         f"s = get_spark(master='local[16]');"
         f"synth_transcripts(s, {n_convs}).repartition(256).write.mode('overwrite').parquet({raw!r}); s.stop()  # 256 files: the scan must give BOTH pinned levels >=3 well-packed task waves (a ~35-split scan is exactly one wave at 32 cores -- half the slots idle in wave 2)"
     )
-    subprocess.run([sys.executable, "-c", setup], check=True, capture_output=True)
+    if not reuse:
+        subprocess.run([sys.executable, "-c", setup], check=True, capture_output=True)
 
     probe_src = PROBE_BODY.format(repo=REPO)
     lo_cores = f"0-{n_lo - 1}"
@@ -85,9 +91,10 @@ def main() -> None:
         )
         print(f"round {r}: load1={load1:.1f} best {n_lo}c={b_lo:.1f}s {n_hi}c={b_hi:.1f}s eff={eff:.3f}", flush=True)
         _write(per_round, n_turns, n_lo, n_hi)
-    import shutil
+    if not reuse:
+        import shutil
 
-    shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _write(per_round, n_turns, n_lo, n_hi) -> None:
