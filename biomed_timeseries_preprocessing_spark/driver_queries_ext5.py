@@ -169,3 +169,20 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b",
         F.floor(F.col("cosine") * 1_000_000).cast("long").alias("cosine_e6"),
     )
+
+
+# --------------------------------------------- IVF ANN (quantizer path)
+
+from .operators.similarity import ivf_topk  # noqa: E402
+
+
+@q("ann_topk_ivf")  # rows-only: approximate by design (recall vs brute
+# force asserted in pytest; brute force itself is the oracled query)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_topk(emb, queries, dim=64, k=5, n_cells=8, nprobe=4).select(
+        "q_id", "rnk", "nbr_id"
+    )

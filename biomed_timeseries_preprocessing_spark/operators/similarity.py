@@ -245,3 +245,126 @@ def embedding_neardup(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ------------------------------------------------------------------ IVF
+
+def _cell_dists(vec, centroids: list[list[float]]):
+    """Literal-centroid distance scores as a sorted array<struct<d,cell>>
+    (ascending): argmin = element 1, probe list = slice. Pure JVM
+    expression — no explode, no shuffle, no UDF."""
+    cdf = F.array(*[
+        F.struct(F.lit(i).alias("cell"), F.array(*[F.lit(v) for v in c]).alias("cent"))
+        for i, c in enumerate(centroids)
+    ])
+    scored = F.transform(
+        cdf,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(vec, c["cent"],
+                           lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0), lambda acc, v: acc + v,
+            ).alias("d"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    return F.sort_array(scored)
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic coarse quantizer for IVF: k-means initialized from
+    the k lowest-id vectors (reproducible, no RNG), ``iters`` Lloyd
+    rounds. Assignment is a map-side literal-centroid argmin (no shuffle
+    of the big side); the update collects k x dim doubles to the driver
+    per round — constant-size driver state at any table size."""
+    init = embeddings.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    cents = [[float(x) for x in r[vec_col]] for r in init]
+    for _ in range(iters):
+        assigned = embeddings.select(
+            F.element_at(_cell_dists(F.col(vec_col), cents), 1)["cell"].alias("cell"),
+            vec_col,
+        )
+        sums = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum(F.col("val").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        agg: dict[int, dict[int, tuple[float, int]]] = {}
+        for r in sums:
+            agg.setdefault(r["cell"], {})[r["pos"]] = (r["s"], r["n"])
+        for cell, cols in agg.items():
+            new[cell] = [cols[p][0] / cols[p][1] for p in range(dim)]
+        cents = new
+    return cents
+
+
+def with_ivf_cell(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Tag each row with its nearest-centroid cell id — one map-side
+    column add (array_min over literal centroids), zero shuffles."""
+    return df.withColumn(
+        "ivf_cell", F.element_at(_cell_dists(F.col(vec_col), centroids), 1)["cell"]
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN (inverted-file): k-means coarse quantizer -> each vector
+    lives in one cell; a query probes its ``nprobe`` nearest cells and
+    exact-cosine re-ranks only those cells' members. The 100 TB shape:
+    the index pass is one narrow map-side column add; the query join is
+    an equi-join on cell id with the (tiny) probe list broadcast — the
+    full table is never cross-joined. Complements ``lsh_topk`` (hash
+    buckets) with the quantizer family (Jegou et al., IVF)."""
+    cents = kmeans_centroids(embeddings, dim, n_cells, iters, id_col, vec_col)
+    indexed = with_ivf_cell(
+        embeddings.select(F.col(id_col).alias("nbr_id"), vec_col), cents, vec_col
+    )
+    # per-query nprobe nearest cells: slice of the same sorted dists
+    qcells = (
+        queries.select("q_id", "q_vec")
+        .select(
+            "q_id",
+            F.explode(
+                F.slice(_cell_dists(F.col("q_vec"), cents), 1, nprobe)
+            ).alias("_p"),
+        )
+        .select("q_id", F.col("_p.cell").alias("cell"))
+    )
+    cand = (
+        indexed.join(F.broadcast(qcells), indexed["ivf_cell"] == qcells["cell"])
+        .select("q_id", "nbr_id", vec_col)
+        .filter(F.col("nbr_id") != F.col("q_id"))
+        .distinct()
+    )
+    qv = F.broadcast(queries.select("q_id", "q_vec"))
+    scored = cand.join(qv, "q_id")
+    score = _dot(F.col(vec_col), F.col("q_vec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("q_vec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("score", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", F.col("rnk").cast("long").alias("rnk"), "nbr_id", "score")
+    )

@@ -29,6 +29,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -77,6 +78,13 @@ def parse_args(argv=None):
         "--codec-chunks",
         action="store_true",
         help="also write compressed per-(conv, hour) blobs (codec table)",
+    )
+    p.add_argument(
+        "--bucket-parallelism",
+        type=int,
+        default=0,
+        help="concurrent bucket pipelines (0 = auto: min(4, buckets)); "
+        "commits serialize under a lock either way",
     )
     p.add_argument(
         "--fail-after-buckets",
@@ -142,8 +150,13 @@ def run(args, spark=None) -> dict:
         else pending_buckets(log, args.run_id, first_stage, all_buckets)
     )
     stats = {"buckets_total": len(all_buckets), "buckets_run": 0, "rows_out": 0}
+    commit_lock = threading.Lock()  # snapshot catalog + lineage are
+    # last-writer-wins files; commits must serialize. Compute does not:
+    # buckets are independent Spark jobs and the scheduler interleaves
+    # their tasks, so a small thread pool keeps all cores busy while one
+    # bucket sits in its (short, locked) commit section.
 
-    for i, b in enumerate(todo):
+    def _run_bucket(i: int, b: int) -> None:
         if args.fail_after_buckets and i >= args.fail_after_buckets:
             raise RuntimeError(f"injected failure before bucket {b} (test hook)")
         t0 = time.time()
@@ -187,10 +200,16 @@ def run(args, spark=None) -> dict:
         derived = with_derived(work_turns).persist()
         persisted.append(derived)
         if args.codec_chunks:
-            chunks = encode_chunks(derived)
-            catalog.overwrite_partitions("codec_chunks", chunks, {"bucket": b})
+            # materialize OUTSIDE the lock: only the (cached) file dump
+            # happens in the serialized commit section
+            chunks = encode_chunks(derived).persist()
+            persisted.append(chunks)
+            chunks.count()
+            with commit_lock:
+                catalog.overwrite_partitions("codec_chunks", chunks, {"bucket": b})
         rows_in = derived.count()
         df = None
+        bucket_rows_out = 0
         for tier in tiers:
             df = rollup_from_turns(derived, tier) if df is None else rollup_merge(df, tier)
             df = df.persist()  # next tier merges from this materialized one
@@ -201,7 +220,8 @@ def run(args, spark=None) -> dict:
             rows_out, lo, hi, checksum = frame_audit(
                 df, ["conv_id", "bucket_start", "cnt", "sum_tokens"], "bucket_start"
             )
-            catalog.overwrite_partitions(f"rollup_{tier}", df, {"bucket": b})
+            with commit_lock:
+                catalog.overwrite_partitions(f"rollup_{tier}", df, {"bucket": b})
             lineage_rows.append(
                 (
                     args.run_id,
@@ -215,13 +235,31 @@ def run(args, spark=None) -> dict:
                     int((time.time() - t0) * 1000),
                 )
             )
-            stats["rows_out"] += rows_out
+            bucket_rows_out += rows_out
         # single atomic lineage commit: a bucket is either fully recorded
         # (deepest tier present → resume skips it) or not at all
-        log.commit_many(args.run_id, lineage_rows)
+        with commit_lock:
+            log.commit_many(args.run_id, lineage_rows)
+            stats["rows_out"] += bucket_rows_out
+            stats["buckets_run"] += 1
         for p in persisted:
             p.unpersist()
-        stats["buckets_run"] += 1
+
+    # bucket compute runs in a small thread pool (concurrent Spark jobs —
+    # the cluster scheduler fills slot gaps one bucket's stage barriers
+    # leave); the test kill-hook forces sequential so "fail after N
+    # buckets committed" stays deterministic
+    workers = args.bucket_parallelism or min(4, max(1, len(todo)))
+    if args.fail_after_buckets:
+        workers = 1
+    if workers <= 1:
+        for i, b in enumerate(todo):
+            _run_bucket(i, b)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(_run_bucket, range(len(todo)), todo))
     if own_spark:
         spark.stop()
     return stats

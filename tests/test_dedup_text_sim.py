@@ -210,3 +210,36 @@ def test_embedding_neardup_lsh_recall(spark):
     assert len(exact) >= 50  # the planted pairs are all near-dups
     assert lsh <= exact  # exact verification => no false positives
     assert len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_ivf_topk_recall(spark):
+    """IVF ANN: probing half the cells (nprobe=4 of 8) must recover
+    >=70% of brute-force top-5 neighbors on the test embeddings, return
+    full k rows per query, and never emit a neighbor outside the probed
+    candidate set's exact scores (re-rank is exact by construction)."""
+    from biomed_timeseries_preprocessing_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 10").selectExpr(
+        "vec_id AS q_id", "embedding AS q_vec"
+    )
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, dim=64, k=5, n_cells=8, nprobe=4).collect()
+    by_q_exact = {}
+    for r in exact:
+        by_q_exact.setdefault(r["q_id"], set()).add(r["nbr_id"])
+    by_q_approx = {}
+    for r in approx:
+        by_q_approx.setdefault(r["q_id"], set()).add(r["nbr_id"])
+    assert all(len(v) == 5 for v in by_q_approx.values())  # full k rows
+    hits = sum(len(by_q_exact[q] & by_q_approx.get(q, set())) for q in by_q_exact)
+    total = sum(len(v) for v in by_q_exact.values())
+    assert hits / total >= 0.7, f"IVF recall {hits}/{total}"
+    # determinism: second run identical
+    again = ivf_topk(emb, queries, dim=64, k=5, n_cells=8, nprobe=4).collect()
+    assert {(r["q_id"], r["rnk"], r["nbr_id"]) for r in again} == {
+        (r["q_id"], r["rnk"], r["nbr_id"]) for r in approx
+    }

@@ -28,6 +28,7 @@ def job_args(**kw):
         fail_after_buckets=0,
         gapfill=False,
         codec_chunks=False,
+        bucket_parallelism=0,
     )
     base.update(kw)
     return argparse.Namespace(**base)
@@ -163,3 +164,21 @@ def test_staging_prunes_per_bucket_scan(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_bucket_parallelism_bit_identical(spark, tmp_path):
+    """Concurrent bucket pipelines (thread pool + locked commits) must
+    produce byte-identical tiers and the same lineage cardinality as the
+    sequential path."""
+    wh_s, wh_p = str(tmp_path / "seq"), str(tmp_path / "par")
+    run_job(job_args(warehouse=wh_s, run_id="rp", bucket_parallelism=1), spark=spark)
+    stats = run_job(job_args(warehouse=wh_p, run_id="rp", bucket_parallelism=4), spark=spark)
+    assert stats["buckets_run"] == 4
+    cat_s, cat_p = LocalSnapshotCatalog(wh_s), LocalSnapshotCatalog(wh_p)
+    for tier in ("1m", "5m", "1h", "1d"):
+        a = read_sorted(cat_s, spark, f"rollup_{tier}")
+        b = read_sorted(cat_p, spark, f"rollup_{tier}")
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
+    lin = cat_p.read(spark, "lineage").toPandas()
+    per = lin.groupby(["stage", "partition_key"]).size()
+    assert (per == 1).all() and len(per) == 4 * 4 + 1
