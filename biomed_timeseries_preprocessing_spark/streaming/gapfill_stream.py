@@ -119,8 +119,13 @@ def _make_fill_group(default_text: str, state_ttl_sec: int | None = None):
         if state_ttl_sec is not None:
             # expire when the watermark passes this conversation's last
             # event time + TTL (event-time semantics: idle means "no new
-            # turns", not "no wall-clock traffic")
-            state.setTimeoutTimestamp(last_us // 1000 + state_ttl_sec * 1000)
+            # turns", not "no wall-clock traffic"). Clamp to just above
+            # the current watermark: on the pass-through path (late turn
+            # with turn_idx <= last_idx) last_us stays old, and a timeout
+            # timestamp at-or-below the watermark raises
+            # INVALID_TIMEOUT_TIMESTAMP and kills the query.
+            ttl_ms = last_us // 1000 + state_ttl_sec * 1000
+            state.setTimeoutTimestamp(max(ttl_ms, state.getCurrentWatermarkMs() + 1))
         if out:
             yield pd.DataFrame(
                 out,

@@ -162,6 +162,19 @@ def run(args, spark=None) -> dict:
         t0 = time.time()
         persisted = []
         lineage_rows = []  # batched: ONE lineage commit per bucket
+        try:
+            _run_bucket_body(i, b, t0, persisted, lineage_rows)
+        finally:
+            # unpersist even when the bucket raises (e.g. text-equality
+            # violation): with a thread pool, other workers keep running
+            # while the failure propagates — leaked pinned frames would
+            # add memory pressure right when the job is already failing
+            for p in persisted:
+                p.unpersist()
+
+    def _run_bucket_body(
+        i: int, b: int, t0: float, persisted: list, lineage_rows: list
+    ) -> None:
         part = staged.filter(F.col("bucket") == b).drop("bucket")
         if args.gapfill:
             filled = gapfill(part).persist()
@@ -242,8 +255,6 @@ def run(args, spark=None) -> dict:
             log.commit_many(args.run_id, lineage_rows)
             stats["rows_out"] += bucket_rows_out
             stats["buckets_run"] += 1
-        for p in persisted:
-            p.unpersist()
 
     # bucket compute runs in a small thread pool (concurrent Spark jobs —
     # the cluster scheduler fills slot gaps one bucket's stage barriers
