@@ -23,6 +23,7 @@ from biomed_timeseries_preprocessing_spark import driver_queries_ext2  # noqa: E
 from biomed_timeseries_preprocessing_spark import driver_queries_ext3  # noqa: E402,F401  (part-4 queries)
 from biomed_timeseries_preprocessing_spark import driver_queries_ext4  # noqa: E402,F401  (round-2 queries)
 from biomed_timeseries_preprocessing_spark import driver_queries_ext5  # noqa: E402,F401  (round-3 queries)
+from biomed_timeseries_preprocessing_spark import driver_queries_ext6  # noqa: E402,F401  (round-4 queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -337,9 +337,7 @@ def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ ANN
 
-@q(
-    "ann_topk_bruteforce",
-    """
+ANN_BF_ORACLE_SQL = """
 WITH q AS (
   SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
   FROM embeddings WHERE vec_id < 3
@@ -357,8 +355,14 @@ r AS (
   FROM s
 )
 SELECT q_id, CAST(rnk AS BIGINT) AS rnk, nbr_id FROM r WHERE rnk <= 5
-""",
-)
+"""
+# Shared by the metamorphic ANN queries in driver_queries_ext6: an
+# approximate index run at exhaustive settings (IVF nprobe=n_cells, LSH
+# probing every band value) must equal brute force exactly, so all three
+# hash-check against this one oracle.
+
+
+@q("ann_topk_bruteforce", ANN_BF_ORACLE_SQL)
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 3).select(

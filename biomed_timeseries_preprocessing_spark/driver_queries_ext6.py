@@ -1,0 +1,113 @@
+"""Driver queries, part 7 (round 4).
+
+Metamorphic ANN oracles (VERDICT r3 next-round #1): the approximate
+index kernels run at *exhaustive* settings must equal brute force
+exactly —
+
+- ``ann_topk_ivf_full``: ``ivf_topk`` with ``nprobe = n_cells`` probes
+  every cell, so the candidate set is the full table and the shared
+  re-rank kernel makes the result identical to ``brute_force_topk``;
+- ``ann_topk_lsh_exact``: ``lsh_topk`` with ``bands = n_planes`` (one
+  bit per band) + multi-probe (which flips that bit) probes BOTH values
+  of every band, so every vector is a candidate.
+
+Both hash-check against the existing brute-force DuckDB oracle
+(``ANN_BF_ORACLE_SQL``), converting the IVF/LSH family from
+rows-only+recall to metamorphic-exact — the same trick as
+``stft_parseval`` and the rollup cascade.
+
+Plus the named W7 operator (``with_neighbor_context``, reference
+``add_neighbors`` at
+/root/reference/utils/sleep_data_prep/sleep_data_utils.py:190-202) with
+a DuckDB ``list()``-window oracle; the array is emitted as a CSV string
+on both sides so the driver's scalar value-compare applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .driver_queries import ORACLE, QUERIES, q  # noqa: F401
+from .driver_queries_ext import ANN_BF_ORACLE_SQL
+from .operators.derive import with_derived, with_neighbor_context
+from .operators.similarity import ivf_topk, lsh_topk
+from .sources.events_adapter import (
+    EVENTS_AS_TRANSCRIPTS_NOGAP_SQL,
+    events_as_transcripts,
+    load_events,
+)
+
+__all__ = ["QUERIES", "ORACLE"]
+
+
+def _queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb, emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
+@q("ann_topk_ivf_full", ANN_BF_ORACLE_SQL)
+def ann_topk_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF at nprobe = n_cells degenerates to exact search: every cell
+    is probed, the union of probed cells is the whole table, and the
+    re-rank kernel is shared with the (oracled) brute force — so this
+    hash-checks the ENTIRE IVF code path (quantizer, cell tagging,
+    probe join, re-rank) against the brute-force oracle."""
+    emb, queries = _queries(spark, sf_dir)
+    return ivf_topk(emb, queries, dim=64, k=5, n_cells=8, nprobe=8).select(
+        "q_id", "rnk", "nbr_id"
+    )
+
+
+@q("ann_topk_lsh_exact", ANN_BF_ORACLE_SQL)
+def ann_topk_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH at bands = n_planes (1 bit/band) + multi-probe covers both
+    values of every band, so every vector shares a probed bucket and
+    recall is exactly 1 — the full banded-join + re-rank path becomes
+    hash-checkable against the brute-force oracle."""
+    emb, queries = _queries(spark, sf_dir)
+    return lsh_topk(
+        emb, queries, dim=64, k=5, n_planes=16, bands=16, multiprobe=True
+    ).select("q_id", "rnk", "nbr_id")
+
+
+@q(
+    "neighbor_context_tokens",
+    f"""
+WITH t AS ({EVENTS_AS_TRANSCRIPTS_NOGAP_SQL}),
+d AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS token_count
+  FROM t
+),
+c AS (
+  SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+         list(token_count) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+         ) AS ctx
+  FROM d
+)
+SELECT conv_id, turn_idx,
+       array_to_string(ctx, ',') AS ctx_csv,
+       CAST(len(ctx) AS BIGINT) AS ctx_n
+FROM c
+""",
+)
+def neighbor_context_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: ±2 neighbor token counts per turn as an array column
+    (emitted CSV-joined for the scalar hash compare; clipped frames at
+    conversation edges are part of the contract — ctx_n < 5 there)."""
+    turns = events_as_transcripts(load_events(spark, sf_dir), with_gaps=False)
+    ctx = with_neighbor_context(
+        with_derived(turns), k=2, value_col="token_count", out_col="ctx"
+    )
+    return ctx.select(
+        "conv_id",
+        "turn_idx",
+        F.array_join(F.col("ctx"), ",").alias("ctx_csv"),
+        F.size(F.col("ctx")).cast("long").alias("ctx_n"),
+    )

@@ -33,6 +33,45 @@ def token_count_col(text=None):
     )
 
 
+def with_neighbor_context(
+    df: DataFrame,
+    k: int,
+    value_col: str = "text",
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    out_col: str | None = None,
+) -> DataFrame:
+    """±k neighbor-context column (SURVEY §2 W7): for every row, an
+    array of the ``value_col`` values of the 2k+1 surrounding rows
+    (ordered by ``order_col`` within ``group_col``), the row's own value
+    at the center.
+
+    Reference parity: ``add_neighbors``
+    (/root/reference/utils/sleep_data_prep/sleep_data_utils.py:190-202)
+    concatenates each window with its ±k neighbors along a new axis.
+    Edge semantics differ deliberately: the reference pads by repeating
+    the edge window; here the frame CLIPS (first row sees k+1 values),
+    because a clipped array states "no neighbor exists" honestly and
+    pads trivially downstream (``F.slice``/``F.concat``) if a model
+    needs fixed arity.
+
+    Scale shape: one window pass over the same (group, order) Exchange
+    every other per-conversation operator already uses — ``collect_list``
+    over ``rowsBetween(-k, k)`` keeps at most 2k+1 values per row in the
+    frame buffer, so memory is O(k), not O(conversation).
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(-k, k)
+    )
+    return df.withColumn(
+        out_col or f"{value_col}_ctx", F.collect_list(value_col).over(w)
+    )
+
+
 def with_derived(df: DataFrame) -> DataFrame:
     """Add latency_ms (long, NULL on conv head) and token_count (int).
 

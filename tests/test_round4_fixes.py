@@ -15,6 +15,8 @@ import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 
+from pyspark.sql import functions as F
+
 SF001 = os.environ.get("SPARK_GRAFT_SF001_DIR", "/root/testdata/sf0.01")
 
 
@@ -86,3 +88,75 @@ def test_gapfill_stream_late_passthrough_does_not_crash_timeout(spark, tmp_path)
     # the query survived and the late row passed through un-filled
     a_rows = got[(got["conv_id"] == "A") & (got["turn_idx"] == 1)]
     assert len(a_rows) == 2 and not a_rows["is_gap_filled"].any()
+
+
+# ----------------------- metamorphic ANN identities (VERDICT r3 #1)
+
+def _emb_df(spark, n=120, dim=8):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _topk_set(df):
+    return {(r["q_id"], r["rnk"], r["nbr_id"]) for r in df.collect()}
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """ivf_topk(nprobe=n_cells) probes every cell -> candidate set is
+    the whole table -> shared re-rank kernel makes it EXACT.  This is
+    the metamorphic identity the ann_topk_ivf_full driver query
+    hash-checks against the brute-force oracle."""
+    from biomed_timeseries_preprocessing_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    df = _emb_df(spark)
+    queries = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = brute_force_topk(df, queries, k=5)
+    full = ivf_topk(df, queries, dim=8, k=5, n_cells=6, nprobe=6)
+    assert _topk_set(full) == _topk_set(exact)
+
+
+def test_lsh_one_bit_bands_multiprobe_equals_bruteforce(spark):
+    """lsh_topk(bands=n_planes, multiprobe=True): 1 bit per band and the
+    multi-probe flip covers both values of every band, so recall is
+    exactly 1 and the result equals brute force."""
+    from biomed_timeseries_preprocessing_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    df = _emb_df(spark)
+    queries = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = brute_force_topk(df, queries, k=5)
+    ex_lsh = lsh_topk(df, queries, dim=8, k=5, n_planes=16, bands=16, multiprobe=True)
+    assert _topk_set(ex_lsh) == _topk_set(exact)
+
+
+# ------------------------------- W7 neighbor context (VERDICT r3 #7)
+
+def test_with_neighbor_context_clips_at_edges(spark):
+    from biomed_timeseries_preprocessing_spark.operators.derive import (
+        with_neighbor_context,
+    )
+
+    rows = [("A", i, i * 10) for i in range(5)] + [("B", 0, 99)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, v int")
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["v_ctx"]
+        for r in with_neighbor_context(df, k=2, value_col="v").collect()
+    }
+    assert got[("A", 0)] == [0, 10, 20]          # clipped head
+    assert got[("A", 2)] == [0, 10, 20, 30, 40]  # full frame, own value center
+    assert got[("A", 4)] == [20, 30, 40]         # clipped tail
+    assert got[("B", 0)] == [99]                 # singleton conversation
+    # k=0 degenerates to a 1-element array of the row's own value
+    k0 = with_neighbor_context(df, k=0, value_col="v", out_col="c").collect()
+    assert all(r["c"] == [r["v"]] for r in k0)
