@@ -111,3 +111,41 @@ def neighbor_context_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.col("ctx"), ",").alias("ctx_csv"),
         F.size(F.col("ctx")).cast("long").alias("ctx_n"),
     )
+
+
+# ----------------------- F2 true frequency-domain filter (round 4 #3)
+
+from .driver_queries_ext2 import activity_series  # noqa: E402
+from .functions.filters import band_reconstruction  # noqa: E402
+from .sources.events_adapter import EVENTS_AS_TRANSCRIPTS_SQL  # noqa: E402
+
+_BANDPASS_RECON_SQL = f"""
+WITH t AS ({EVENTS_AS_TRANSCRIPTS_SQL}),
+d AS (SELECT conv_id, (epoch_us(ts) // 60000000) * 60000000 AS bucket_us FROM t),
+r AS (SELECT conv_id, bucket_us FROM d GROUP BY conv_id, bucket_us),
+b AS (SELECT conv_id, min(bucket_us) AS lo, max(bucket_us) AS hi FROM r GROUP BY conv_id),
+n AS (SELECT conv_id, (hi - lo) // 60000000 + 1 AS n_idx FROM b),
+g AS (
+  SELECT conv_id, unnest(generate_series(0, least(CAST(n_idx - 1 AS BIGINT), 255))) AS idx
+  FROM n
+)
+SELECT conv_id, CAST(idx AS INT) AS idx, CAST(0.0 AS DOUBLE) AS recon_err FROM g
+"""
+
+
+@q("bandpass_reconstruction", _BANDPASS_RECON_SQL)
+def bandpass_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 oracle: three adjacent brick-wall bands partitioning [0, fs/2]
+    must reconstruct the input sample-for-sample (linearity of the
+    spectral mask + exact irfft∘rfft inverse).  recon_err is rounded to
+    9 decimals → exactly 0.0 on the oracle's (conv, idx) grid when the
+    filter path is correct, so grid alignment AND the FFT mask math are
+    hash-verified without an oracle FFT — the stft_parseval trick.
+    Bounded to 256 samples/conv (mirrored in the oracle's least(.., 255));
+    reference semantics: filter_signals at edf_reader.py:448-473."""
+    return band_reconstruction(
+        activity_series(spark, sf_dir),
+        fs=1.0,
+        edges=[0.0, 0.05, 0.2, 0.5],
+        max_idx=256,
+    )
