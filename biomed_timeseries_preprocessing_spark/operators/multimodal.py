@@ -1,11 +1,18 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, with decode / feature-extract / frame-sample plumbing.
 
-The decode step itself is STUBBED (this container ships no image/audio
-codecs): ``decode_asset`` parses a deterministic fake header and raises
-``NotImplementedError`` for real formats. Everything Spark-side is real
-and tested — schema, partitioning, Arrow batch shape, UDF signatures —
-so dropping in PIL/ffmpeg on a real cluster changes one function body.
+Decode coverage (round 4 — the "drop-in, tested seam" upgrade):
+- the deterministic FAKE container decodes vectorized (test fixture);
+- **WAV audio decodes for real** via stdlib ``wave`` — no optional
+  dependency, end-to-end tested in this container;
+- **PNG/JPEG images decode via Pillow when importable** (optional
+  import, skip-if-absent test); without Pillow they raise
+  ``NotImplementedError`` naming the missing package;
+- video still needs ffmpeg — explicit ``NotImplementedError``.
+
+Everything Spark-side is real and tested — schema, partitioning, Arrow
+batch shape, UDF signatures — so a cluster image with Pillow/ffmpeg
+widens coverage without touching the plumbing.
 
 Reference analog: the reference treats signals as opaque per-file blobs
 routed by modality config (``Save_Agent.py:80-136``); binary payload +
@@ -77,11 +84,59 @@ DECODED_SCHEMA = (
     "dec_duration_ms int, body_bytes int"
 )
 
+# Optional image codec: Pillow widens the real-decode seam when the
+# cluster image ships it; absence degrades to a named error, never a
+# wrong answer.
+try:  # pragma: no cover - exercised only where Pillow is installed
+    from PIL import Image as _PILImage
+
+    _HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    _HAVE_PIL = False
+
+
+def decode_real_payload(p: bytes) -> tuple[str, int, int, int]:
+    """Decode one real (non-FAKE) payload → (kind, dec_width,
+    dec_height, dec_duration_ms). Audio reuses the metadata slots as
+    (sample_rate_hz, channels, duration_ms) — same slot-per-modality
+    convention as the reference's modality config (Save_Agent.py:80-136).
+
+    - WAV (RIFF/WAVE): stdlib ``wave`` — always available;
+    - PNG/JPEG: Pillow when importable, else NotImplementedError
+      naming the missing package;
+    - anything else (video needs ffmpeg): NotImplementedError.
+    """
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(p)) as w:
+            rate, chans, nframes = w.getframerate(), w.getnchannels(), w.getnframes()
+        return ("audio", rate, chans, int(nframes * 1000 / rate))
+    if p[:8] == b"\x89PNG\r\n\x1a\n" or p[:3] == b"\xff\xd8\xff":
+        if not _HAVE_PIL:
+            raise NotImplementedError(
+                "PNG/JPEG decode needs Pillow (pip install pillow) — "
+                "not available in this container"
+            )
+        import io
+
+        with _PILImage.open(io.BytesIO(p)) as img:
+            return ("image", img.width, img.height, 0)
+    raise NotImplementedError(
+        "unrecognized payload container — video and non-WAV audio need "
+        "ffmpeg, not available in this container"
+    )
+
 
 def decode_assets(assets: DataFrame) -> DataFrame:
-    """Decode stage over mapInPandas (Arrow batches). Real formats raise
-    NotImplementedError — the plumbing (batch iteration, schema, column
-    pruning of the binary payload) is the tested part."""
+    """Decode stage over mapInPandas (Arrow batches): FAKE containers
+    parse vectorized (stacked np.frombuffer header matrix); real WAV
+    decodes via stdlib, PNG/JPEG via optional Pillow
+    (``decode_real_payload``). Missing codecs raise a named
+    NotImplementedError — the batch plumbing and payload column pruning
+    are identical for every modality."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kind_name = np.array(["?", "image", "audio", "video"])
@@ -90,30 +145,44 @@ def decode_assets(assets: DataFrame) -> DataFrame:
                 continue
             payloads = [bytes(p) for p in pdf["payload"]]
             lens = np.fromiter((len(p) for p in payloads), dtype=np.int64)
-            # fixed 13-byte headers parse as one stacked matrix —
-            # vectorized np.frombuffer field extraction, no per-row unpack
-            if (lens < 13).any() or not all(
-                p.startswith(MAGIC) for p in payloads
-            ):
-                raise NotImplementedError(
-                    "real image/audio/video decoding needs PIL/ffmpeg — "
-                    "not available in this container (stub per task brief)"
+            fake = np.fromiter(
+                (len(p) >= 13 and p.startswith(MAGIC) for p in payloads),
+                dtype=bool,
+            )
+            out = {
+                "kind": np.empty(len(payloads), dtype=object),
+                "dec_width": np.zeros(len(payloads), dtype=np.int64),
+                "dec_height": np.zeros(len(payloads), dtype=np.int64),
+                "dec_duration_ms": np.zeros(len(payloads), dtype=np.int64),
+                "body_bytes": lens - 13,
+            }
+            if fake.any():
+                # fixed 13-byte headers parse as one stacked matrix —
+                # vectorized np.frombuffer extraction, no per-row unpack
+                hdr = np.frombuffer(
+                    b"".join(p[:13] for p, f in zip(payloads, fake) if f),
+                    dtype=np.uint8,
+                ).reshape(-1, 13)
+                out["kind"][fake] = kind_name[hdr[:, 4].astype(np.int64)]
+                out["dec_width"][fake] = (hdr[:, 5].astype(np.int64) << 8) | hdr[:, 6]
+                out["dec_height"][fake] = (hdr[:, 7].astype(np.int64) << 8) | hdr[:, 8]
+                out["dec_duration_ms"][fake] = (
+                    hdr[:, 9:13].copy().view(">u4").ravel().astype(np.int64)
                 )
-            hdr = np.frombuffer(
-                b"".join(p[:13] for p in payloads), dtype=np.uint8
-            ).reshape(-1, 13)
-            kind_b = hdr[:, 4].astype(np.int64)
-            w = (hdr[:, 5].astype(np.int64) << 8) | hdr[:, 6]
-            h = (hdr[:, 7].astype(np.int64) << 8) | hdr[:, 8]
-            dur = hdr[:, 9:13].copy().view(">u4").ravel().astype(np.int64)
+            for i in np.flatnonzero(~fake):
+                k, w, h, d = decode_real_payload(payloads[i])
+                out["kind"][i] = k
+                out["dec_width"][i], out["dec_height"][i] = w, h
+                out["dec_duration_ms"][i] = d
+                out["body_bytes"][i] = lens[i]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"].to_numpy(),
-                    "kind": kind_name[kind_b],
-                    "dec_width": w.astype(np.int32),
-                    "dec_height": h.astype(np.int32),
-                    "dec_duration_ms": dur.astype(np.int32),
-                    "body_bytes": (lens - 13).astype(np.int32),
+                    "kind": out["kind"],
+                    "dec_width": out["dec_width"].astype(np.int32),
+                    "dec_height": out["dec_height"].astype(np.int32),
+                    "dec_duration_ms": out["dec_duration_ms"].astype(np.int32),
+                    "body_bytes": out["body_bytes"].astype(np.int32),
                 }
             )
 
