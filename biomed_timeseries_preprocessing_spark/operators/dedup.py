@@ -219,6 +219,60 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text: str = "text", bits: i
     return sums.select("doc_id", fp.alias("simhash"))
 
 
+def simhash_packed(
+    docs: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """SimHash with packed aggregation lanes (r3 verdict #8): the ±1 sum
+    per bit b equals ``2·S_b − n`` where ``S_b`` counts tokens with bit
+    b set and ``n`` is the token count — so instead of 64 sum buffers,
+    spread each hash's bits into 16 longs of 4×16-bit lanes and sum
+    those (17 agg buffers total).  Fingerprints are IDENTICAL to
+    ``simhash`` (asserted in pytest).
+
+    Lane capacity is 65,535 tokens per document; exceeding it would
+    silently corrupt a lane, so the extract side *raises* past the cap
+    (split such documents upstream, or use ``simhash``)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalized_text(F.col(text)), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    # group g packs bits (g, g+16, g+32, g+48) into 4 disjoint 16-bit lanes
+    packs = [
+        sum(
+            F.shiftleft(
+                F.shiftrightunsigned(F.col("h"), g + 16 * lane).bitwiseAND(F.lit(1)),
+                16 * lane,
+            )
+            for lane in range(4)
+        ).alias(f"p_{g}")
+        for g in range(16)
+    ]
+    sums = toks.select("doc_id", *packs).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"p_{g}").alias(f"sp_{g}") for g in range(16)],
+    )
+    guarded_n = F.when(
+        F.col("n") > 0xFFFF,
+        F.raise_error(
+            F.format_string(
+                "simhash_packed lane overflow: doc %s has %s tokens (cap 65535)",
+                F.col("doc_id").cast("string"),
+                F.col("n").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("n"))
+    fp = None
+    for g in range(16):
+        for lane in range(4):
+            b = g + 16 * lane
+            s_b = F.shiftrightunsigned(F.col(f"sp_{g}"), 16 * lane).bitwiseAND(
+                F.lit(0xFFFF)
+            )
+            bit = F.when(s_b * 2 > guarded_n, _bit_lit(b)).otherwise(F.lit(0))
+            fp = bit if fp is None else fp.bitwiseOR(bit)
+    return sums.select("doc_id", fp.alias("simhash"))
+
+
 def simhash_candidates(fps: DataFrame, chunk_bits: int = 16) -> DataFrame:
     """Hamming-near pairs by banding the 64-bit fingerprint into 16-bit
     chunks (pigeonhole: ≤3 differing bits ⇒ some chunk equal)."""

@@ -160,3 +160,24 @@ def test_with_neighbor_context_clips_at_edges(spark):
     # k=0 degenerates to a 1-element array of the row's own value
     k0 = with_neighbor_context(df, k=0, value_col="v", out_col="c").collect()
     assert all(r["c"] == [r["v"]] for r in k0)
+
+
+# ----------------------- packed-lane simhash (VERDICT r3 #8)
+
+def test_simhash_packed_identical_to_unpacked(spark):
+    from biomed_timeseries_preprocessing_spark.operators.dedup import (
+        simhash,
+        simhash_packed,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "der hund lauft und die katze ist nicht mit dem ball zu sehen"),
+        (2, "completely different content about spark query engines and shuffles"),
+        (3, "a " * 200 + "b c d"),  # heavy term-frequency weighting
+        (4, "single"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+    a = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash_packed(df).collect()}
+    assert a == b
