@@ -103,14 +103,33 @@ class LocalSnapshotCatalog:
     ) -> int:
         """Dynamic partition overwrite: replace all files whose partition
         metadata matches ``partition_values`` (subset match)."""
+        new_files = self._write_data(table, df, partition_values)
+        return self.commit_overwrite_partitions(table, new_files, partition_values)
+
+    def write_data_files(
+        self, table: str, df: DataFrame, partition_values: dict
+    ) -> list[dict]:
+        """Phase 1 of a two-phase dynamic-partition overwrite: run the
+        Spark write job and return the (not-yet-visible) data-file
+        manifest entries. Safe to run concurrently from many workers —
+        files land under a uuid subdir and are invisible until
+        ``commit_overwrite_partitions`` swaps the snapshot pointer. This
+        is exactly Iceberg's model: tasks write data files without
+        coordination; only the metadata commit serializes."""
+        return self._write_data(table, df, partition_values)
+
+    def commit_overwrite_partitions(
+        self, table: str, new_files: list[dict], partition_values: dict
+    ) -> int:
+        """Phase 2: metadata-only snapshot swap (caller holds any
+        cross-thread commit lock). O(manifest) — no Spark job."""
         cur = self._current(table)
         keep = [
             f
             for f in (cur["files"] if cur else [])
             if any(f["partition"].get(k) != v for k, v in partition_values.items())
         ]
-        files = keep + self._write_data(table, df, partition_values)
-        return self._commit(table, files, "overwrite", cur)["snapshot_id"]
+        return self._commit(table, keep + new_files, "overwrite", cur)["snapshot_id"]
 
     def overwrite(self, table: str, df: DataFrame) -> int:
         cur = self._current(table)

@@ -213,13 +213,16 @@ def run(args, spark=None) -> dict:
         derived = with_derived(work_turns).persist()
         persisted.append(derived)
         if args.codec_chunks:
-            # materialize OUTSIDE the lock: only the (cached) file dump
-            # happens in the serialized commit section
-            chunks = encode_chunks(derived).persist()
-            persisted.append(chunks)
-            chunks.count()
+            # data files write lock-free (Iceberg model: uninstalled
+            # uuid-dir files are invisible); only the snapshot swap
+            # serializes
+            chunk_files = catalog.write_data_files(
+                "codec_chunks", encode_chunks(derived), {"bucket": b}
+            )
             with commit_lock:
-                catalog.overwrite_partitions("codec_chunks", chunks, {"bucket": b})
+                catalog.commit_overwrite_partitions(
+                    "codec_chunks", chunk_files, {"bucket": b}
+                )
         rows_in = derived.count()
         df = None
         bucket_rows_out = 0
@@ -233,8 +236,17 @@ def run(args, spark=None) -> dict:
             rows_out, lo, hi, checksum = frame_audit(
                 df, ["conv_id", "bucket_start", "cnt", "sum_tokens"], "bucket_start"
             )
+            # the tier write (a Spark job over the cached frame) runs
+            # lock-free — holding the commit lock across it serialized
+            # all 4-tiers x all-buckets writes, the dominant serial
+            # section of the whole job (measured: see BENCH/BASELINE.md
+            # round-4 commit-path note); only the O(manifest) snapshot
+            # swap needs the lock
+            tier_files = catalog.write_data_files(f"rollup_{tier}", df, {"bucket": b})
             with commit_lock:
-                catalog.overwrite_partitions(f"rollup_{tier}", df, {"bucket": b})
+                catalog.commit_overwrite_partitions(
+                    f"rollup_{tier}", tier_files, {"bucket": b}
+                )
             lineage_rows.append(
                 (
                     args.run_id,

@@ -182,3 +182,29 @@ def test_bucket_parallelism_bit_identical(spark, tmp_path):
     lin = cat_p.read(spark, "lineage").toPandas()
     per = lin.groupby(["stage", "partition_key"]).size()
     assert (per == 1).all() and len(per) == 4 * 4 + 1
+
+
+def test_two_phase_overwrite_invisible_until_commit(spark, tmp_path):
+    """Iceberg model: write_data_files runs the Spark job lock-free and
+    its files stay invisible until commit_overwrite_partitions swaps the
+    snapshot pointer; the committed result is identical to the one-shot
+    overwrite_partitions (jobs/rollup_job.py writes tiers this way so
+    concurrent bucket workers only serialize the O(manifest) swap)."""
+    cat = LocalSnapshotCatalog(str(tmp_path / "wh"))
+    base = spark.range(4).withColumnRenamed("id", "v")
+    cat.overwrite_partitions("t", base, {"bucket": 0})
+
+    staged = cat.write_data_files("t", spark.range(10, 13).withColumnRenamed("id", "v"), {"bucket": 0})
+    assert len(staged) > 0
+    # not yet visible: readers still see the bucket-0 files from snap 1
+    assert sorted(r.v for r in cat.read(spark, "t").collect()) == [0, 1, 2, 3]
+
+    snap = cat.commit_overwrite_partitions("t", staged, {"bucket": 0})
+    assert sorted(r.v for r in cat.read(spark, "t").collect()) == [10, 11, 12]
+
+    # other partitions survive a two-phase overwrite of bucket 0
+    cat.overwrite_partitions("t", spark.range(20, 22).withColumnRenamed("id", "v"), {"bucket": 1})
+    staged2 = cat.write_data_files("t", spark.range(30, 31).withColumnRenamed("id", "v"), {"bucket": 0})
+    cat.commit_overwrite_partitions("t", staged2, {"bucket": 0})
+    assert sorted(r.v for r in cat.read(spark, "t").collect()) == [20, 21, 30]
+    assert snap >= 2
