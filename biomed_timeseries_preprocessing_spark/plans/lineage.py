@@ -12,10 +12,14 @@ per commit — atomic enough via the snapshot catalog's rename commit).
 
 from __future__ import annotations
 
+import os
 import time
+import uuid
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import LocalSnapshotCatalog
@@ -62,6 +66,37 @@ def frame_audit(
         ).alias("c"),
     ).collect()[0]
     return int(row["n"]), row["lo"], row["hi"], int(row["c"] or 0) % (1 << 63)
+
+
+def attach_audit(
+    df: DataFrame, checksum_cols: list[str], extent_col: str
+) -> tuple[DataFrame, Observation]:
+    """Piggyback the lineage audit on the frame's NEXT action instead of
+    running a separate pass: returns ``(df.observe(...), observation)``.
+    ``frame_audit`` (above) fused three actions into one; this removes
+    the one — Spark's CollectMetrics node computes the same four
+    aggregates on the rows as they stream through whatever job
+    materializes the frame (in rollup_job: the tier's data-file write),
+    so per tier there is exactly ONE job. Read the result with
+    ``read_audit`` AFTER an action has run on the returned frame."""
+    obs = Observation()
+    audited = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.min(extent_col).alias("lo"),
+        F.max(extent_col).alias("hi"),
+        F.sum(
+            F.xxhash64(*[F.col(c) for c in checksum_cols]).cast("decimal(38,0)")
+        ).alias("c"),
+    )
+    return audited, obs
+
+
+def read_audit(obs: Observation) -> tuple[int, object, object, int]:
+    """(rows, min_extent, max_extent, checksum) from an ``attach_audit``
+    observation; blocks until the frame's first action completes."""
+    m = obs.get
+    return int(m["n"]), m["lo"], m["hi"], int(m["c"] or 0) % (1 << 63)
 
 
 @dataclass
@@ -117,13 +152,43 @@ class LineageLog:
     def commit_many(self, run_id: str, rows: list[tuple]) -> None:
         """One snapshot commit for a batch of lineage rows (e.g. every
         stage of one work bucket) — lineage stays atomic per bucket and
-        the snapshot count drops from stages×buckets to buckets."""
-        pdf = self.spark.createDataFrame(
-            rows,
-            "run_id string, stage string, partition_key string, rows_in long, "
-            "rows_out long, min_ts timestamp, max_ts timestamp, checksum long, wall_ms long",
-        ).withColumn("committed_at", F.current_timestamp())
-        self.catalog.append(LINEAGE_TABLE, pdf, {"run_id": run_id})
+        the snapshot count drops from stages×buckets to buckets.
+
+        The parquet file is written driver-side via pyarrow, NOT a Spark
+        job: a lineage batch is a handful of tuples already sitting on
+        the driver, and callers (rollup_job) invoke this inside their
+        commit lock — a createDataFrame→write job here put JVM job
+        scheduling inside the only serialized section of the whole
+        pipeline (measured as part of the r4 commit-path work,
+        BENCH/ab_commit_path.json). Arrow write + manifest swap is
+        sub-millisecond and the file is identical to Spark's for readers
+        (TIMESTAMP_MICROS adjusted-to-UTC, int64, utf8)."""
+        ts_type = pa.timestamp("us", tz="UTC")
+        now_us = int(time.time() * 1_000_000)
+        cols = list(zip(*rows))
+        table = pa.table(
+            {
+                "run_id": pa.array(cols[0], pa.string()),
+                "stage": pa.array(cols[1], pa.string()),
+                "partition_key": pa.array(cols[2], pa.string()),
+                "rows_in": pa.array(cols[3], pa.int64()),
+                "rows_out": pa.array(cols[4], pa.int64()),
+                "min_ts": pa.array(cols[5], ts_type),
+                "max_ts": pa.array(cols[6], ts_type),
+                "checksum": pa.array(cols[7], pa.int64()),
+                "wall_ms": pa.array(cols[8], pa.int64()),
+                "committed_at": pa.array([now_us] * len(rows), ts_type),
+            }
+        )
+        sub = os.path.join(
+            self.catalog._tdir(LINEAGE_TABLE), "data", uuid.uuid4().hex
+        )
+        os.makedirs(sub, exist_ok=True)
+        path = os.path.join(sub, "lineage-00000.parquet")
+        pq.write_table(table, path, compression="zstd")
+        self.catalog.append_files(
+            LINEAGE_TABLE, [{"path": path, "partition": {"run_id": run_id}}]
+        )
 
     def metrics(self, run_id: str | None = None) -> DataFrame:
         df = self.catalog.read(self.spark, LINEAGE_TABLE)

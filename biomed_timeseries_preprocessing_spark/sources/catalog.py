@@ -118,6 +118,16 @@ class LocalSnapshotCatalog:
         coordination; only the metadata commit serializes."""
         return self._write_data(table, df, partition_values)
 
+    def append_files(self, table: str, new_files: list[dict]) -> int:
+        """Metadata-only append of pre-written data files (the append
+        analog of ``commit_overwrite_partitions``). Used by writers that
+        produce their parquet files driver-side without a Spark job —
+        e.g. lineage rows, a handful of tuples per commit, written via
+        pyarrow — so the serialized commit section stays O(manifest)."""
+        cur = self._current(table)
+        files = (cur["files"] if cur else []) + new_files
+        return self._commit(table, files, "append", cur)["snapshot_id"]
+
     def commit_overwrite_partitions(
         self, table: str, new_files: list[dict], partition_values: dict
     ) -> int:

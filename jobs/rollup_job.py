@@ -46,9 +46,10 @@ from biomed_timeseries_preprocessing_spark.operators.rollup import (  # noqa: E4
 )
 from biomed_timeseries_preprocessing_spark.plans.lineage import (  # noqa: E402
     LineageLog,
+    attach_audit,
     bucket_of,
-    frame_audit,
     pending_buckets,
+    read_audit,
 )
 from biomed_timeseries_preprocessing_spark.session import get_spark  # noqa: E402
 from biomed_timeseries_preprocessing_spark.sources.catalog import get_catalog  # noqa: E402
@@ -179,20 +180,27 @@ def run(args, spark=None) -> dict:
         if args.gapfill:
             filled = gapfill(part).persist()
             persisted.append(filled)
-            violations = text_equality_violations(
-                part, filled.filter(~F.col("is_gap_filled"))
-            ).count()
-            if violations:
+            # ONE action for the whole gapfill audit: total + filled
+            # counts AND the text-equality violation count (a 1-row
+            # cross join of two aggregates — Spark runs both subtrees in
+            # the same job; these were two serial driver round-trips)
+            c = (
+                filled.select(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_if(F.col("is_gap_filled")).alias("nf"),
+                )
+                .crossJoin(
+                    text_equality_violations(
+                        part, filled.filter(~F.col("is_gap_filled"))
+                    ).select(F.count(F.lit(1)).alias("nv"))
+                )
+                .collect()[0]
+            )
+            if c["nv"]:
                 raise RuntimeError(
-                    f"text-equality invariant violated for {violations} turns "
+                    f"text-equality invariant violated for {int(c['nv'])} turns "
                     f"in bucket {b} — refusing to commit (input_hint contract)"
                 )
-            # fused: total + filled counts in one action (input rows =
-            # total − filled, since non-filled rows ARE the input rows)
-            c = filled.select(
-                F.count(F.lit(1)).alias("n"),
-                F.count_if(F.col("is_gap_filled")).alias("nf"),
-            ).collect()[0]
             n_filled = int(c["nf"])
             lineage_rows.append(
                 (
@@ -208,8 +216,13 @@ def run(args, spark=None) -> dict:
                 )
             )
             work_turns = filled.drop("is_gap_filled")
+            # with_derived is row-preserving (a projection + window
+            # column), so the fused count above already IS the derived
+            # row count — no extra action
+            rows_in = int(c["n"])
         else:
             work_turns = part
+            rows_in = None
         derived = with_derived(work_turns).persist()
         persisted.append(derived)
         if args.codec_chunks:
@@ -223,17 +236,18 @@ def run(args, spark=None) -> dict:
                 catalog.commit_overwrite_partitions(
                     "codec_chunks", chunk_files, {"bucket": b}
                 )
-        rows_in = derived.count()
+        if rows_in is None:
+            rows_in = derived.count()
         df = None
         bucket_rows_out = 0
         for tier in tiers:
             df = rollup_from_turns(derived, tier) if df is None else rollup_merge(df, tier)
             df = df.persist()  # next tier merges from this materialized one
             persisted.append(df)
-            # one fused action per tier (count + extent + checksum) —
-            # these were three separate driver round-trips, serial in
-            # the bucket loop at every cluster size
-            rows_out, lo, hi, checksum = frame_audit(
+            # the lineage audit (count + extent + checksum) rides the
+            # tier write via observe() — ONE Spark job per tier where
+            # r3 ran two (audit pass, then write) and r1 ran four
+            audited, obs = attach_audit(
                 df, ["conv_id", "bucket_start", "cnt", "sum_tokens"], "bucket_start"
             )
             # the tier write (a Spark job over the cached frame) runs
@@ -242,7 +256,10 @@ def run(args, spark=None) -> dict:
             # section of the whole job (measured: see BENCH/BASELINE.md
             # round-4 commit-path note); only the O(manifest) snapshot
             # swap needs the lock
-            tier_files = catalog.write_data_files(f"rollup_{tier}", df, {"bucket": b})
+            tier_files = catalog.write_data_files(
+                f"rollup_{tier}", audited, {"bucket": b}
+            )
+            rows_out, lo, hi, checksum = read_audit(obs)
             with commit_lock:
                 catalog.commit_overwrite_partitions(
                     f"rollup_{tier}", tier_files, {"bucket": b}
