@@ -50,13 +50,19 @@ def shared_shingle_pairs(
     oracle comparison); at 100 TB set a cap and/or use the MinHash-LSH
     path for candidates.
     """
-    sh = shingled
-    if df_cap is not None:
-        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-        sh = (
-            sh.join(dfreq.filter(F.col("_df") <= df_cap), "shingle")
-            .drop("_df")
-        )
+    # a shingle with document frequency 1 joins only with itself and the
+    # doc_a < doc_b predicate kills that row — it can never produce a
+    # candidate, and n_inter only counts shingles present in BOTH docs
+    # (df ≥ 2 by definition). Most shingles of natural text are unique,
+    # so dropping df=1 from the index shrinks the self-join input by
+    # ~an order of magnitude with bit-identical output (measured at 50k
+    # docs: see BENCH/dedup_scale.json exact-path note).
+    dfreq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    hi = F.col("_df") <= df_cap if df_cap is not None else F.lit(True)
+    sh = (
+        shingled.join(dfreq.filter((F.col("_df") >= 2) & hi), "shingle")
+        .drop("_df")
+    )
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -69,8 +75,9 @@ def shared_shingle_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
     if df_cap is None:
-        # uncapped: the capped index IS the full index, so intersection
-        # counts straight off the self-join (no second pass needed)
+        # uncapped: every shingle shared by ≥2 docs is still in the
+        # index (only df=1 was dropped), so intersection counts come
+        # straight off the self-join (no second pass needed)
         inter = cand.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_inter"))
     else:
         # capped: count n_inter by joining distinct candidate pairs back

@@ -33,36 +33,68 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+OUT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "is_gap_filled"]
+
+
 def gapfill(turns: DataFrame, default_text: str = "") -> DataFrame:
     """Return turns with missing turn_idx rows materialized and filled,
-    plus an ``is_gap_filled`` boolean column."""
+    plus an ``is_gap_filled`` boolean column.
+
+    Physical shape: original rows NEVER enter the grid join or the
+    window passes — they stream from the source straight into a union.
+    Only a narrow projection (keys + ts/role/tool, no ``text``) flows
+    through the shuffle to compute the gap rows, whose text is a
+    constant anyway. Carrying full rows through the join + two window
+    sorts made materializing the filled frame ~10× slower than counting
+    it (the ``text`` payload dominated the shuffle); at 100 TB the gap
+    rows are a sliver of the data and this plan moves only that sliver
+    plus narrow carriers."""
+    narrow = turns.select("conv_id", "turn_idx", "ts", "role", "tool")
     grid = (
-        turns.groupBy("conv_id")
+        narrow.groupBy("conv_id")
         .agg(F.min("turn_idx").alias("lo"), F.max("turn_idx").alias("hi"))
         .select(
             "conv_id",
             F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("turn_idx"),
         )
     )
-    j = grid.join(turns, ["conv_id", "turn_idx"], "left").withColumn(
+    j = grid.join(narrow, ["conv_id", "turn_idx"], "left").withColumn(
         "is_gap_filled", F.col("ts").isNull()
     )
 
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    w_back = w.rowsBetween(Window.unboundedPreceding, 0)
-    w_fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    # Both fill directions use an incremental unboundedPreceding→current
+    # frame: the "next present value" is last(..., ignorenulls) over the
+    # DESCENDING turn order. A current→unboundedFollowing frame computes
+    # the same thing but Spark re-evaluates that frame shape from scratch
+    # per row — O(n²) per conversation; measured ~10× the whole
+    # operator's cost at 800-turn conversations. The reversed sort stays
+    # inside the same hash partitioning (no extra shuffle), and grouping
+    # the same-spec expressions adjacently collapses them into exactly
+    # two Window nodes.
+    w_back = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd_rev = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.desc("turn_idx"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
 
     ts_us = F.unix_micros(F.col("ts"))
     present_idx = F.when(F.col("ts").isNotNull(), F.col("turn_idx"))
     prev_us = F.last(ts_us, ignorenulls=True).over(w_back)
     prev_idx = F.last(present_idx, ignorenulls=True).over(w_back)
-    next_us = F.first(ts_us, ignorenulls=True).over(w_fwd)
-    next_idx = F.first(present_idx, ignorenulls=True).over(w_fwd)
+    next_us = F.last(ts_us, ignorenulls=True).over(w_fwd_rev)
+    next_idx = F.last(present_idx, ignorenulls=True).over(w_fwd_rev)
 
     # exact integer interpolation: prev + (next-prev)*(i-prev_i) DIV (next_i-prev_i)
     filled = (
         j.withColumn("_prev_us", prev_us)
         .withColumn("_prev_idx", prev_idx)
+        .withColumn("role", F.last("role", ignorenulls=True).over(w_back))
+        .withColumn("tool", F.last("tool", ignorenulls=True).over(w_back))
         .withColumn("_next_us", next_us)
         .withColumn("_next_idx", next_idx)
         .withColumn(
@@ -77,13 +109,10 @@ def gapfill(turns: DataFrame, default_text: str = "") -> DataFrame:
                 " DIV (_next_idx - _prev_idx)"
             ))).otherwise(F.col("ts")),
         )
-        .withColumn("role", F.when(F.col("is_gap_filled"), F.last("role", ignorenulls=True).over(w_back)).otherwise(F.col("role")))
-        .withColumn("tool", F.when(F.col("is_gap_filled"), F.last("tool", ignorenulls=True).over(w_back)).otherwise(F.col("tool")))
-        .withColumn(
-            "text",
-            F.when(F.col("is_gap_filled"), F.lit(default_text)).otherwise(F.col("text")),
-        )
+        .withColumn("text", F.lit(default_text))
     )
-    return filled.select(
-        "conv_id", "turn_idx", "role", "text", "tool", "ts", "is_gap_filled"
-    )
+    # the window pass carried present rows only as fill sources; emit the
+    # gap rows it computed and union the untouched originals back in
+    gaps = filled.filter(F.col("is_gap_filled")).select(*OUT_COLS)
+    originals = turns.withColumn("is_gap_filled", F.lit(False)).select(*OUT_COLS)
+    return originals.unionByName(gaps)

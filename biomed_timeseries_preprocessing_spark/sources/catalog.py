@@ -118,6 +118,40 @@ class LocalSnapshotCatalog:
         coordination; only the metadata commit serializes."""
         return self._write_data(table, df, partition_values)
 
+    def write_data_files_partitioned(
+        self, table: str, df: DataFrame, partition_col: str
+    ) -> dict:
+        """Phase 1 for MANY partitions in ONE Spark job: write ``df``
+        ``partitionBy(partition_col)`` under a fresh uuid dir and return
+        ``{partition_value(int if numeric): [manifest entries]}`` sliced
+        per ``<partition_col>=<v>`` subdirectory. Each slice can then be
+        committed independently via ``commit_overwrite_partitions`` —
+        per-partition commit atomicity without per-partition write jobs.
+        The partition column is directory-encoded (dropped from the data
+        files), so the file schema matches a per-partition
+        ``write_data_files`` of the same frame minus that column."""
+        sub = os.path.join(self._tdir(table), "data", uuid.uuid4().hex)
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(sub)
+        prefix = partition_col + "="
+        out: dict = {}
+        for d in os.listdir(sub):
+            if not d.startswith(prefix):
+                continue
+            raw_val = d[len(prefix):]
+            val = int(raw_val) if raw_val.lstrip("-").isdigit() else raw_val
+            entries = []
+            for root, _dirs, names in os.walk(os.path.join(sub, d)):
+                for n in names:
+                    if n.endswith(".parquet"):
+                        entries.append(
+                            {
+                                "path": os.path.join(root, n),
+                                "partition": {partition_col: val},
+                            }
+                        )
+            out[val] = entries
+        return out
+
     def append_files(self, table: str, new_files: list[dict]) -> int:
         """Metadata-only append of pre-written data files (the append
         analog of ``commit_overwrite_partitions``). Used by writers that

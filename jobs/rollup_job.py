@@ -19,9 +19,16 @@ committed snapshot: already committed (stage, bucket) pairs are skipped
 re-committed because tier writes are partition *overwrites*
 (idempotent), not appends.
 
-This per-bucket commit loop is the Spark-shaped version of the
-reference's per-patient joblib loop (``File_Struct.py:576-579``) with
-the two things it lacks: atomic commits and resume.
+Two schedulers (same commits, same lineage, bit-identical tables):
+``--scheduler per-bucket`` (default) runs an independent pipeline per
+bucket in a thread pool — the Spark-shaped version of the reference's
+per-patient joblib loop (``File_Struct.py:576-579``) with the two
+things it lacks, atomic commits and resume; stages of different
+buckets overlap, measured 10-15% faster than the barrier plan here
+(BENCH/ab_scheduler.json). ``--scheduler global`` runs ONE partitioned
+Spark job per stage over every pending bucket and slices the
+partitionBy(bucket) output per bucket for independent commits — the
+shape for a wide cluster when bucket count >> pool size.
 """
 
 from __future__ import annotations
@@ -84,8 +91,23 @@ def parse_args(argv=None):
         "--bucket-parallelism",
         type=int,
         default=0,
-        help="concurrent bucket pipelines (0 = auto: min(4, buckets)); "
-        "commits serialize under a lock either way",
+        help="per-bucket scheduler only: concurrent bucket pipelines "
+        "(0 = auto: min(4, buckets)); commits serialize under a lock "
+        "either way. Setting this implies --scheduler per-bucket.",
+    )
+    p.add_argument(
+        "--scheduler",
+        choices=["per-bucket", "global"],
+        default="per-bucket",
+        help="'per-bucket' (default): independent pipeline per bucket "
+        "in a thread pool — stages of different buckets overlap, which "
+        "measured 10-15%% faster than the global barrier plan on this "
+        "box (BENCH/ab_scheduler.json) and gives small failure/retry "
+        "domains. 'global': ONE partitioned Spark job per stage over "
+        "all pending buckets, per-bucket commit atomicity kept by "
+        "slicing the partitionBy(bucket) output per directory "
+        "(Iceberg's model) — the shape that trivially saturates a "
+        "wide cluster when bucket count >> pool size.",
     )
     p.add_argument(
         "--fail-after-buckets",
@@ -285,21 +307,170 @@ def run(args, spark=None) -> dict:
             stats["rows_out"] += bucket_rows_out
             stats["buckets_run"] += 1
 
-    # bucket compute runs in a small thread pool (concurrent Spark jobs —
-    # the cluster scheduler fills slot gaps one bucket's stage barriers
-    # leave); the test kill-hook forces sequential so "fail after N
-    # buckets committed" stays deterministic
-    workers = args.bucket_parallelism or min(4, max(1, len(todo)))
-    if args.fail_after_buckets:
-        workers = 1
-    if workers <= 1:
-        for i, b in enumerate(todo):
-            _run_bucket(i, b)
-    else:
-        from concurrent.futures import ThreadPoolExecutor
+    def _run_global(todo: list[int]) -> None:
+        """One partitioned Spark job per stage over ALL pending buckets.
 
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            list(pool.map(_run_bucket, range(len(todo)), todo))
+        Spark packs the same work into one job per stage (gap-fill audit, one
+        write per tier), and the per-bucket commit/resume granularity
+        survives via ``write_data_files_partitioned``: the tier write is
+        partitionBy(bucket), its output sliced per bucket directory, and
+        each bucket commits its own snapshot + atomic lineage batch —
+        the task-write/metadata-commit split again, now with one job
+        feeding many commits. Work lost on a kill is the in-flight
+        stage (vs the in-flight bucket). On this box the per-bucket
+        pool wins by overlapping stages of different buckets
+        (BENCH/ab_scheduler.json: 13.1 vs 15.3 s best), so it stays
+        the default; this mode is the saturation shape for a wide
+        cluster where bucket count >> pool size."""
+        t0 = time.time()
+        bcol = bucket_of(F.col("conv_id"), args.buckets)
+        part = staged.filter(F.col("bucket").isin(todo)).drop("bucket")
+        wall = lambda: int((time.time() - t0) * 1000)  # noqa: E731
+        lineage_by_bucket: dict[int, list] = {b: [] for b in todo}
+        persisted = []
+        try:
+            if args.gapfill:
+                filled = gapfill(part).persist()
+                persisted.append(filled)
+                # ONE action: per-bucket totals + filled counts + text-
+                # equality violation counts (the per-bucket scheduler's
+                # fused audit, grouped by bucket instead of pre-filtered)
+                counts = (
+                    filled.groupBy(bcol.alias("bucket")).agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.count_if(F.col("is_gap_filled")).alias("nf"),
+                    )
+                )
+                viol = (
+                    text_equality_violations(
+                        part, filled.filter(~F.col("is_gap_filled"))
+                    )
+                    .groupBy(bcol.alias("bucket"))
+                    .agg(F.count(F.lit(1)).alias("nv"))
+                )
+                audit = {
+                    int(r["bucket"]): r
+                    for r in counts.join(viol, "bucket", "left").collect()
+                }
+                n_viol = sum(int(r["nv"] or 0) for r in audit.values())
+                if n_viol:
+                    raise RuntimeError(
+                        f"text-equality invariant violated for {n_viol} turns "
+                        f"— refusing to commit (input_hint contract)"
+                    )
+                tier_rows_in = {}
+                for b in todo:
+                    r = audit.get(b)
+                    n, nf = (int(r["n"]), int(r["nf"])) if r is not None else (0, 0)
+                    tier_rows_in[b] = n
+                    lineage_by_bucket[b].append(
+                        (args.run_id, "gapfill", str(b), n - nf, nf, None, None, 0, wall())
+                    )
+                work_turns = filled.drop("is_gap_filled")
+            else:
+                work_turns = part
+                tier_rows_in = None
+            derived = with_derived(work_turns).persist()
+            persisted.append(derived)
+            if args.codec_chunks:
+                chunk_files = catalog.write_data_files_partitioned(
+                    "codec_chunks",
+                    encode_chunks(derived).withColumn("bucket", bcol),
+                    "bucket",
+                )
+                for b in todo:
+                    catalog.commit_overwrite_partitions(
+                        "codec_chunks", chunk_files.get(b, []), {"bucket": b}
+                    )
+            if tier_rows_in is None:
+                tier_rows_in = {b: 0 for b in todo}
+                for r in derived.groupBy(bcol.alias("bucket")).agg(
+                    F.count(F.lit(1)).alias("n")
+                ).collect():
+                    tier_rows_in[int(r["bucket"])] = int(r["n"])
+            df = None
+            for tier in tiers:
+                df = (
+                    rollup_from_turns(derived, tier)
+                    if df is None
+                    else rollup_merge(df, tier)
+                )
+                df = df.persist()  # next tier merges from this one
+                persisted.append(df)
+                tier_files = catalog.write_data_files_partitioned(
+                    f"rollup_{tier}", df.withColumn("bucket", bcol), "bucket"
+                )
+                # per-bucket audit off the frame the write just cached —
+                # same count/extent/checksum tuple the per-bucket
+                # scheduler records, one aggregate for all buckets
+                audit_rows = {
+                    int(r["bucket"]): r
+                    for r in df.groupBy(bcol.alias("bucket"))
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.min("bucket_start").alias("lo"),
+                        F.max("bucket_start").alias("hi"),
+                        F.sum(
+                            F.xxhash64(
+                                "conv_id", "bucket_start", "cnt", "sum_tokens"
+                            ).cast("decimal(38,0)")
+                        ).alias("c"),
+                    )
+                    .collect()
+                }
+                for b in todo:
+                    catalog.commit_overwrite_partitions(
+                        f"rollup_{tier}", tier_files.get(b, []), {"bucket": b}
+                    )
+                    r = audit_rows.get(b)
+                    rows_out = int(r["n"]) if r is not None else 0
+                    lineage_by_bucket[b].append(
+                        (
+                            args.run_id,
+                            f"rollup_{tier}",
+                            str(b),
+                            tier_rows_in[b],
+                            rows_out,
+                            r["lo"] if r is not None else None,
+                            r["hi"] if r is not None else None,
+                            (int(r["c"] or 0) % (1 << 63)) if r is not None else 0,
+                            wall(),
+                        )
+                    )
+                    stats["rows_out"] += rows_out
+        finally:
+            for p in persisted:
+                p.unpersist()
+        # lineage stays atomic PER BUCKET (resume granularity unchanged):
+        # one snapshot commit per bucket, all its stages together
+        for b in todo:
+            log.commit_many(args.run_id, lineage_by_bucket[b])
+            stats["buckets_run"] += 1
+
+    scheduler = getattr(args, "scheduler", "per-bucket")
+    per_bucket = (
+        scheduler == "per-bucket"
+        or bool(args.fail_after_buckets)
+        or bool(args.bucket_parallelism)
+    )
+    if todo and not per_bucket:
+        _run_global(todo)
+    elif todo:
+        # bucket compute runs in a small thread pool (concurrent Spark
+        # jobs — the cluster scheduler fills slot gaps one bucket's stage
+        # barriers leave); the test kill-hook forces sequential so "fail
+        # after N buckets committed" stays deterministic
+        workers = args.bucket_parallelism or min(4, max(1, len(todo)))
+        if args.fail_after_buckets:
+            workers = 1
+        if workers <= 1:
+            for i, b in enumerate(todo):
+                _run_bucket(i, b)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                list(pool.map(_run_bucket, range(len(todo)), todo))
     if own_spark:
         spark.stop()
     return stats

@@ -184,6 +184,43 @@ def test_bucket_parallelism_bit_identical(spark, tmp_path):
     assert (per == 1).all() and len(per) == 4 * 4 + 1
 
 
+def test_global_scheduler_bit_identical(spark, tmp_path):
+    """The default global scheduler (one partitioned job per stage,
+    per-bucket manifest slicing) must produce byte-identical tier tables
+    and the same per-(stage, bucket) lineage cardinality as the
+    per-bucket thread-pool scheduler — including with gapfill + codec
+    on, and with an empty bucket in play (6 convs over 8 buckets)."""
+    wh_g, wh_p = str(tmp_path / "glob"), str(tmp_path / "perb")
+    base = job_args(run_id="sched", buckets=8, gapfill=True, codec_chunks=True)
+    g = argparse.Namespace(**{**vars(base), "warehouse": wh_g, "scheduler": "global"})
+    p = argparse.Namespace(
+        **{**vars(base), "warehouse": wh_p, "scheduler": "per-bucket"}
+    )
+    stats_g = run_job(g, spark=spark)
+    stats_p = run_job(p, spark=spark)
+    assert stats_g["buckets_run"] == stats_p["buckets_run"] == 8
+    assert stats_g["rows_out"] == stats_p["rows_out"]
+    cat_g, cat_p = LocalSnapshotCatalog(wh_g), LocalSnapshotCatalog(wh_p)
+    for tier in ("1m", "5m", "1h", "1d"):
+        a = read_sorted(cat_g, spark, f"rollup_{tier}")
+        b = read_sorted(cat_p, spark, f"rollup_{tier}")
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
+    lin_g = cat_g.read(spark, "lineage").toPandas()
+    lin_p = cat_p.read(spark, "lineage").toPandas()
+    key = ["stage", "partition_key", "rows_in", "rows_out", "checksum"]
+    pd.testing.assert_frame_equal(
+        lin_g[key].sort_values(key).reset_index(drop=True),
+        lin_p[key].sort_values(key).reset_index(drop=True),
+        check_exact=True,
+    )
+    # codec table identical blob-for-blob
+    cg = cat_g.read(spark, "codec_chunks").toPandas().sort_values(
+        ["conv_id", "chunk_start"]).reset_index(drop=True)
+    cp = cat_p.read(spark, "codec_chunks").toPandas().sort_values(
+        ["conv_id", "chunk_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(cg[sorted(cg.columns)], cp[sorted(cp.columns)])
+
+
 def test_two_phase_overwrite_invisible_until_commit(spark, tmp_path):
     """Iceberg model: write_data_files runs the Spark job lock-free and
     its files stay invisible until commit_overwrite_partitions swaps the
