@@ -50,19 +50,25 @@ def shared_shingle_pairs(
     oracle comparison); at 100 TB set a cap and/or use the MinHash-LSH
     path for candidates.
     """
-    # a shingle with document frequency 1 joins only with itself and the
-    # doc_a < doc_b predicate kills that row — it can never produce a
-    # candidate, and n_inter only counts shingles present in BOTH docs
-    # (df ≥ 2 by definition). Most shingles of natural text are unique,
-    # so dropping df=1 from the index shrinks the self-join input by
-    # ~an order of magnitude with bit-identical output (measured at 50k
-    # docs: see BENCH/dedup_scale.json exact-path note).
-    dfreq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    hi = F.col("_df") <= df_cap if df_cap is not None else F.lit(True)
-    sh = (
-        shingled.join(dfreq.filter((F.col("_df") >= 2) & hi), "shingle")
-        .drop("_df")
-    )
+    sh = shingled
+    if df_cap is not None:
+        # the dfreq join exists for the cap anyway; also dropping df=1
+        # shingles is free here and bit-identical (a df=1 shingle joins
+        # only with itself and doc_a < doc_b kills that row; n_inter
+        # only counts shingles present in BOTH docs, i.e. df ≥ 2).
+        # Deliberately NOT applied to the uncapped branch: on a corpus
+        # with few unique shingles the extra aggregate+join costs more
+        # than the self-join it trims (measured 70% slower on the
+        # dedup_scale token-soup corpus, whose ~27k-shingle vocabulary
+        # has essentially no df=1 mass) — the cap is the scale lever.
+        dfreq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = (
+            shingled.join(
+                dfreq.filter((F.col("_df") >= 2) & (F.col("_df") <= df_cap)),
+                "shingle",
+            )
+            .drop("_df")
+        )
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -75,9 +81,8 @@ def shared_shingle_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
     if df_cap is None:
-        # uncapped: every shingle shared by ≥2 docs is still in the
-        # index (only df=1 was dropped), so intersection counts come
-        # straight off the self-join (no second pass needed)
+        # uncapped: the candidate index IS the full index, so
+        # intersection counts come straight off the self-join
         inter = cand.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_inter"))
     else:
         # capped: count n_inter by joining distinct candidate pairs back
