@@ -34,7 +34,10 @@ from .dedup import word_shingles
 
 
 def shared_shingle_pairs(
-    shingled: DataFrame, threshold: float = 0.5, df_cap: int | None = None
+    shingled: DataFrame,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs from the shingle inverted index: two docs are
     candidates iff they share ≥1 shingle (a guaranteed superset of any
@@ -49,40 +52,97 @@ def shared_shingle_pairs(
     pair's score. Leave it None when exhaustiveness is required (e.g.
     oracle comparison); at 100 TB set a cap and/or use the MinHash-LSH
     path for candidates.
+
+    ``prefix_filter`` applies AllPairs prefix filtering (Bayardo, Ma &
+    Srikant, WWW'07 "Scaling Up All Pairs Similarity Search" — public
+    algorithm) to the candidate index, WITHOUT approximation: under any
+    global total order of shingles, a doc only needs its
+    ``|d| - ceil(t·|d|) + 1`` smallest shingles in the index — if
+    J(a,b) ≥ t then o = |a∩b| ≥ t·max(|a|,|b|) (since |a∪b| ≥ max), and
+    if no common shingle fell in both prefixes then every common shingle
+    exceeds the smaller prefix's last element, forcing
+    o ≤ ceil(t·|a|) − 1 < o — contradiction. The order used is
+    (document frequency ASC, shingle ASC), so prefixes hold each doc's
+    RAREST shingles and the inverted index's per-shingle posting lists
+    shrink quadratically where it matters most. A length filter
+    (t·|a| ≤ |b| ∧ t·|b| ≤ |a|, same paper) prunes inside the self-join.
+    Both prune candidates only; n_inter is then counted against the FULL
+    shingle sets, so the emitted Jaccard is exact and the pair set is
+    bit-identical to the unfiltered index (locked by
+    ``test_shared_shingle_prefix_filter_exact`` at t ∈ {0.1,0.5,0.9,1}).
+
+    **Default OFF — a measured decision, not an oversight.** Prefix
+    filtering pays for its dfreq join + per-doc rank window + full-set
+    verification join only when the df distribution is Zipfian (a rare
+    tail carries most postings, so rare-first prefixes collapse the
+    inverted index). Every corpus in this sandbox is near-uniform-df
+    synthetic text (driver documents table: df p50=9, p99=18, max=25
+    over a 27k vocabulary; dedup_scale token soup: same shape) and
+    there the pruning cannot win — measured 4–6 s plain vs 12–16 s
+    prefix-filtered on the sf0.1 documents table (interleaved, 2 reps),
+    and worse at 50k docs where the dense-overlap candidate set is
+    inherently quadratic and the verify join multiplies it. On a real
+    web corpus (Zipf df, sparse overlap) flip it on; the equivalence
+    test guarantees the switch can never change results.
     """
-    sh = shingled
-    if df_cap is not None:
-        # the dfreq join exists for the cap anyway; also dropping df=1
-        # shingles is free here and bit-identical (a df=1 shingle joins
-        # only with itself and doc_a < doc_b kills that row; n_inter
-        # only counts shingles present in BOTH docs, i.e. df ≥ 2).
-        # Deliberately NOT applied to the uncapped branch: on a corpus
-        # with few unique shingles the extra aggregate+join costs more
-        # than the self-join it trims (measured 70% slower on the
-        # dedup_scale token-soup corpus, whose ~27k-shingle vocabulary
-        # has essentially no df=1 mass) — the cap is the scale lever.
-        dfreq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-        sh = (
-            shingled.join(
-                dfreq.filter((F.col("_df") >= 2) & (F.col("_df") <= df_cap)),
-                "shingle",
-            )
-            .drop("_df")
-        )
+    if prefix_filter is None:
+        prefix_filter = False
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh = shingled
+    need_full_verify = df_cap is not None or prefix_filter
+    if df_cap is not None or prefix_filter:
+        # document frequency: the df_cap filter needs it; prefix
+        # filtering uses it as the global order key (rare-first).
+        dfreq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        cond = F.col("_df") >= 2  # df=1 shingles join only with themselves
+        if df_cap is not None:
+            cond = cond & (F.col("_df") <= df_cap)
+        sh = shingled.join(dfreq.filter(cond), "shingle")
+    if prefix_filter:
+        from pyspark.sql.window import Window
+
+        # rank within doc by (df asc, shingle asc); keep the
+        # |d| − ceil(t·|d|) + 1 rarest. n_sh is the FULL set size (the
+        # df≥2/df_cap drop must not lengthen another doc's prefix
+        # budget... it can only shorten the indexed set further, which
+        # keeps the superset guarantee: every surviving shingle's rank
+        # here is ≤ its rank in the full order, so rank ≤ prefix_len
+        # retains at least the full-order prefix survivors).
+        # The 1e-9 nudge keeps ceil exact when t·n is integral but the
+        # double product lands epsilon above it (0.1·10 → 1.0000…2);
+        # erring low lengthens the prefix — more candidates, never fewer.
+        w = Window.partitionBy("doc_id").orderBy("_df", "shingle")
+        sh = (
+            sh.join(sizes, "doc_id")
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(
+                F.col("_rk")
+                <= F.col("n_sh")
+                - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+                + F.lit(1)
+            )
+            .select("doc_id", "shingle", "n_sh")
+        )
+    elif df_cap is not None:
+        sh = sh.drop("_df")
     a = sh.alias("a")
     b = sh.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    join_cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
     )
-    if df_cap is None:
-        # uncapped: the candidate index IS the full index, so
-        # intersection counts come straight off the self-join
+    if prefix_filter:
+        # length filter: J ≥ t ⟹ t·|a| ≤ |b| and t·|b| ≤ |a|
+        # (float comparisons err toward keeping — verification is exact)
+        join_cond = (
+            join_cond
+            & (F.lit(threshold) * F.col("a.n_sh") <= F.col("b.n_sh") + F.lit(1e-9))
+            & (F.lit(threshold) * F.col("b.n_sh") <= F.col("a.n_sh") + F.lit(1e-9))
+        )
+    cand = a.join(b, join_cond).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    if not need_full_verify:
+        # full index: intersection counts come straight off the self-join
         inter = cand.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_inter"))
     else:
         # capped: count n_inter by joining distinct candidate pairs back

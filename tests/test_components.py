@@ -77,3 +77,29 @@ def test_shared_shingle_pairs_df_cap(spark):
     capped = shared_shingle_pairs(sh, threshold=0.0, df_cap=3)
     assert uncapped.count() > 0
     assert capped.count() < uncapped.count()
+
+
+def test_shared_shingle_prefix_filter_exact(spark):
+    """AllPairs prefix filtering is candidate pruning only: at any
+    threshold the emitted (pair, jaccard) set is bit-identical to the
+    unfiltered inverted index. Randomized token-soup corpus with planted
+    near-dups so both true pairs and near-threshold pairs exist."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(60):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(5, 25))]
+        rows.append((d, " ".join(toks)))
+        if d % 4 == 0:  # plant a near-dup: one token mutated
+            mut = list(toks)
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            rows.append((1000 + d, " ".join(mut)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = word_shingles(docs)
+    for t in (0.1, 0.5, 0.9, 1.0):
+        plain = sorted(map(tuple, shared_shingle_pairs(sh, t, prefix_filter=False).collect()))
+        pref = sorted(map(tuple, shared_shingle_pairs(sh, t, prefix_filter=True).collect()))
+        assert pref == plain, f"prefix-filtered pair set diverged at threshold {t}"
+    assert len(sorted(map(tuple, shared_shingle_pairs(sh, 0.5).collect()))) > 0
