@@ -1,0 +1,81 @@
+"""Weather-gated launcher for the 4||16 simultaneous scaling pair.
+
+The gate campaign is only meaningful in decent host weather (NOTES_r4:
+triad 16T >= ~85 GB/s on a quiet day; depressed 16/32T Spark walls track
+triad/co-tenant pressure). This script polls the STREAM-triad probe and
+fires ``scaling_pair.py`` (3 rounds, 54M-turn staged input, N=4 vs 16)
+only once two consecutive probes clear the threshold. While the timed
+phase runs it holds ``/tmp/gate_running`` so interactive work in the
+same sandbox can avoid launching competing Spark jobs.
+
+Usage: python BENCH/gate_launcher.py [threshold_gbps] [max_wait_hours]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(BENCH)
+FLAG = "/tmp/gate_running"
+
+
+def probe16() -> float:
+    exe = os.path.join(BENCH, "bandwidth_probe")
+    if not os.path.exists(exe):
+        subprocess.run(
+            ["gcc", "-O3", "-march=native", "-pthread", "-o", exe,
+             os.path.join(BENCH, "bandwidth_probe.c")],
+            check=True,
+        )
+    r = subprocess.run([exe, "16"], capture_output=True, text=True, check=True)
+    return float(json.loads(r.stdout)["gbps"])
+
+
+def main() -> None:
+    threshold = float(sys.argv[1]) if len(sys.argv) > 1 else 82.0
+    max_wait_h = float(sys.argv[2]) if len(sys.argv) > 2 else 5.0
+    deadline = time.time() + max_wait_h * 3600
+    streak = 0
+    readings = []
+    while time.time() < deadline:
+        g = probe16()
+        readings.append({"t": round(time.time(), 1), "gbps_16t": g})
+        print(f"probe 16T: {g:.1f} GB/s (need {threshold}, streak {streak})", flush=True)
+        streak = streak + 1 if g >= threshold else 0
+        if streak >= 2:
+            break
+        time.sleep(240)
+    else:
+        print("deadline hit without quiet weather; not launching", flush=True)
+        with open(os.path.join(BENCH, "gate_launcher_log.json"), "w") as f:
+            json.dump({"launched": False, "readings": readings}, f, indent=2)
+        return
+
+    open(FLAG, "w").close()
+    try:
+        t0 = time.time()
+        subprocess.run(
+            [sys.executable, os.path.join(BENCH, "scaling_pair.py"), "3", "16000", "4"],
+            check=True,
+        )
+        wall = time.time() - t0
+    finally:
+        os.unlink(FLAG)
+    g_after = probe16()
+    readings.append({"t": round(time.time(), 1), "gbps_16t": g_after, "when": "after"})
+    with open(os.path.join(BENCH, "gate_launcher_log.json"), "w") as f:
+        json.dump(
+            {"launched": True, "campaign_wall_sec": round(wall, 1), "readings": readings},
+            f,
+            indent=2,
+        )
+    print(f"campaign done in {wall:.0f}s; triad after: {g_after:.1f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
