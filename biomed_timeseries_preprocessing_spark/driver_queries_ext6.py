@@ -149,3 +149,47 @@ def bandpass_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges=[0.0, 0.05, 0.2, 0.5],
         max_idx=256,
     )
+
+
+# ------------------- fingerprint metamorphic oracle (round 4, session 4)
+
+from .operators.text import with_fingerprint  # noqa: E402
+
+# The xxhash64-seeded fingerprint VALUE is not SQL-reproducible, but its
+# defining properties are: determinism (same token sequence -> same
+# fingerprint) and injectivity on the corpus (different sequences ->
+# different fingerprints). Both hold iff grouping docs by fingerprint
+# equals grouping them by canonical token sequence — so emit the
+# hash-independent group shape (min doc_id, size) from the fingerprint
+# side and compute the same shape from the text side in DuckDB. A split
+# of a text group (non-determinism) or a merge of two (collision) flips
+# rep_doc/n_docs and fails the hash compare. Collisions are a corpus
+# property, not flakiness: the 31-bit fold is collision-free on every
+# driver corpus (asserted up to sf0.1 in test_round4_fixes) and the
+# check is deterministic either way.
+_FP_AUDIT_SQL = """
+SELECT min(doc_id) AS rep_doc, CAST(count(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT doc_id,
+         array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' ') AS canon
+  FROM documents
+)
+GROUP BY canon
+"""
+
+
+@q("fingerprint_injectivity_audit", _FP_AUDIT_SQL)
+def fingerprint_injectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metamorphic-exact check of the ``with_fingerprint`` kernel
+    (rolling 31-bit polynomial over tokens, text.py): fingerprint-groups
+    must coincide with canonical-token-sequence groups. Converts the
+    fingerprint family from rows-only to hash-checked without needing
+    xxhash64 in SQL — the stft_parseval/ivf_full trick applied to
+    hashing."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        with_fingerprint(docs)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("rep_doc"), F.count(F.lit(1)).alias("n_docs"))
+        .select("rep_doc", F.col("n_docs").cast("long").alias("n_docs"))
+    )

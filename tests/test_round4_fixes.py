@@ -181,3 +181,29 @@ def test_simhash_packed_identical_to_unpacked(spark):
     a = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
     b = {r["doc_id"]: r["simhash"] for r in simhash_packed(df).collect()}
     assert a == b
+
+
+# ------------- fingerprint injectivity (metamorphic oracle preflight)
+
+def test_fingerprint_collision_free_on_driver_corpora(spark):
+    """The fingerprint_injectivity_audit driver query is hash-exact iff
+    the 31-bit rolling fingerprint is deterministic AND collision-free
+    on the corpus. Determinism is structural (pure expression of the
+    token sequence); this certifies collision-freedom on BOTH driver
+    corpora (sf0.01 and sf0.1) so the dual-engine oracle cannot fail on
+    a corpus property: #distinct fingerprints == #distinct canonical
+    token sequences."""
+    from biomed_timeseries_preprocessing_spark.operators.text import with_fingerprint
+
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        if not os.path.isdir(sf_dir):
+            continue
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        fp = with_fingerprint(docs).withColumn(
+            "canon", F.array_join(F.split(F.trim(F.lower("text")), r"\s+"), " ")
+        )
+        got = fp.agg(
+            F.countDistinct("fingerprint").alias("n_fp"),
+            F.countDistinct("canon").alias("n_canon"),
+        ).collect()[0]
+        assert got["n_fp"] == got["n_canon"], sf_dir
