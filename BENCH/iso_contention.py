@@ -76,6 +76,9 @@ def _reps(proc) -> list[float]:
 def main() -> None:
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     reuse = sys.argv[2] if len(sys.argv) > 2 else None
+    global OUT_NAME
+    if len(sys.argv) > 3:
+        OUT_NAME = sys.argv[3]
     if reuse:
         work, raw = reuse, os.path.join(reuse, "raw")
     else:
@@ -119,9 +122,12 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+OUT_NAME = "iso_contention_raw.json"
+
+
 def _write(per_round) -> None:
     effs = [r["efficiency_iso"] for r in per_round]
-    with open(os.path.join(REPO, "BENCH", "iso_contention_raw.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", OUT_NAME), "w") as f:
         json.dump({
             "levels": {"N": N_LO, "4N": N_HI},
             "method": "iso-contention pair: phase A = 4 concurrent pinned local[4] "
