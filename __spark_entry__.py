@@ -24,6 +24,7 @@ from biomed_timeseries_preprocessing_spark import driver_queries_ext3  # noqa: E
 from biomed_timeseries_preprocessing_spark import driver_queries_ext4  # noqa: E402,F401  (round-2 queries)
 from biomed_timeseries_preprocessing_spark import driver_queries_ext5  # noqa: E402,F401  (round-3 queries)
 from biomed_timeseries_preprocessing_spark import driver_queries_ext6  # noqa: E402,F401  (round-4 queries)
+from biomed_timeseries_preprocessing_spark import driver_queries_ext7  # noqa: E402,F401  (round-4 metamorphic audits)
 
 
 def entry(spark: SparkSession) -> DataFrame:
