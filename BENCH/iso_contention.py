@@ -21,7 +21,29 @@ The iso-contention fix: both phases occupy the SAME silicon footprint
            running the identical probe pipeline on the identical input
            (3 JVMs act as "the other executors of the cluster"; the
            measurement is the median of the 4 positions' best reps)
-  phase B  1 JVM x local[16], pinned 0-15, same probe, best rep
+  phase B  1 JVM x local[16], pinned 0-15, same probe; run BEFORE and
+           AFTER phase A so the narrow level's weather window is
+           bracketed by the wide level's.
+
+v2 hardening (2026-08-18), after the v1 campaign scattered
+eff_iso 0.75-0.98 with phase-A position bests ranging 112-150 s at
+identical T16: v1 had NO synchronization between the four phase-A
+JVMs' reps, so a position's best rep could land in a window where
+co-runners were between reps / already exited (idle cores -> extra
+bandwidth -> inflated best), and nothing in the JSON could prove
+otherwise. v2:
+
+  * a file-based barrier aligns every rep start across the 4 positions
+    (a JVM that finishes rep k waits for all four before starting
+    k+1), so the timed regions overlap by construction;
+  * every rep records wall-clock (start, end); the parent computes,
+    for each position's best rep, the fraction of its duration during
+    which ALL other positions were also inside a timed rep — reps with
+    overlap < 0.9 are DISCARDED before taking the best;
+  * loadavg recorded before and after each phase, not just at launch
+    (v1's "load 12.3" round was the harness's own previous round
+    decaying through the 1-minute average, not a co-tenant);
+  * eff_iso uses min(B_pre, B_post) — the cleaner wide-level window.
 
 Per-thread bandwidth is equal in A and B by construction, so
 eff_iso = median_best_A / (4 * best_B) isolates ENGINE scaling
@@ -32,7 +54,7 @@ estimator (its own bias: phase A's four drivers also contend on the
 Python side, which biases AGAINST the narrow level, i.e. conservative
 for the gate).
 
-Usage: python BENCH/iso_contention.py [rounds] [reuse_work_dir]
+Usage: python BENCH/iso_contention.py [rounds] [reuse_work_dir] [out_name]
        (reuse_work_dir must contain raw/ from a prior staging, e.g.
         /dev/shm/scaling_r4; default stages 64k convs itself)
 """
@@ -49,28 +71,101 @@ import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, os.path.join(REPO, "BENCH"))
-
-from scaling_probe import PROBE_BODY  # noqa: E402
 
 N_LO, N_HI, REPS = 4, 16, 4
 PINS_A = ["0-3", "4-7", "8-11", "12-15"]
 PIN_B = "0-15"
 
+# Same cascade as scaling_probe.PROBE_BODY (rep 0 = untimed codegen
+# warmup; the timed region is the 4 tier-materialization jobs only),
+# plus: optional file barrier before every rep, and per-rep
+# (start, end) wall timestamps emitted as JSON.
+ISO_PROBE_BODY = r"""
+import sys, time, os, json
+sys.path.insert(0, {repo!r})
+from biomed_timeseries_preprocessing_spark.session import get_spark
+from biomed_timeseries_preprocessing_spark.operators.derive import with_derived
+from biomed_timeseries_preprocessing_spark.operators.rollup import TIER_ORDER, rollup_from_turns, rollup_merge
 
-def _launch(cores: str, cpus: int, raw: str, work: str):
+cpus, raw, work = sys.argv[1], sys.argv[2], sys.argv[3]
+n_reps = int(sys.argv[4])
+barrier_dir = sys.argv[5] if len(sys.argv) > 5 and sys.argv[5] != "-" else None
+pos = sys.argv[6] if len(sys.argv) > 6 else "0"
+n_parties = int(sys.argv[7]) if len(sys.argv) > 7 else 1
+
+def barrier(k):
+    if not barrier_dir:
+        return
+    open(os.path.join(barrier_dir, f"r{{k}}_p{{pos}}"), "w").close()
+    deadline = time.time() + 600
+    want = f"r{{k}}_"
+    while sum(1 for f in os.listdir(barrier_dir) if f.startswith(want)) < n_parties:
+        if time.time() > deadline:
+            raise RuntimeError(f"barrier timeout at rep {{k}}")
+        time.sleep(0.2)
+
+spark = get_spark(
+    app_name=f"iso{{cpus}}_{{pos}}",
+    master=f"local[{{cpus}}]",
+    extra_conf={{"spark.local.dir": os.path.join(work, "sparktmp")}},
+)
+spark.range(1_000_000).count()   # JIT warmup, never timed
+n = spark.read.parquet(raw).count()
+reps = []
+for rep in range(n_reps):
+    barrier(rep)
+    t0 = time.time()
+    turns = spark.read.parquet(raw)
+    prev = None
+    for i, tier in enumerate(TIER_ORDER):
+        df = rollup_from_turns(with_derived(turns), tier) if i == 0 else rollup_merge(prev, tier)
+        df = df.persist()
+        df.write.mode("overwrite").parquet(os.path.join(work, f"t{{tier}}_{{cpus}}_{{pos}}"))
+        if prev is not None:
+            prev.unpersist()
+        prev = df
+    prev.unpersist()
+    t1 = time.time()
+    reps.append({{"rep": rep, "start": t0, "end": t1, "sec": round(t1 - t0, 3)}})
+print("PROBEJSON " + json.dumps({{"cpus": cpus, "pos": pos, "n": n, "reps": reps}}))
+"""
+
+
+def _launch(cores: str, cpus: int, raw: str, work: str,
+            barrier_dir: str | None, pos: str, n_parties: int):
     os.makedirs(work, exist_ok=True)
     return subprocess.Popen(
         ["taskset", "-c", cores, sys.executable, "-c",
-         PROBE_BODY.format(repo=REPO), str(cpus), raw, work, str(REPS)],
+         ISO_PROBE_BODY.format(repo=REPO), str(cpus), raw, work, str(REPS),
+         barrier_dir or "-", pos, str(n_parties)],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
     )
 
 
-def _reps(proc) -> list[float]:
+def _result(proc) -> dict:
     out, _ = proc.communicate()
-    line = [ln for ln in out.splitlines() if ln.startswith("PROBE")][0]
-    return [float(x) for x in line.split()[3:]]
+    line = [ln for ln in out.splitlines() if ln.startswith("PROBEJSON")][0]
+    return json.loads(line[len("PROBEJSON "):])
+
+
+def _overlap_fraction(rep: dict, others: list[dict]) -> float:
+    """Fraction of [rep.start, rep.end] during which EVERY other
+    position was inside one of its own timed reps."""
+    t0, t1 = rep["start"], rep["end"]
+    if t1 <= t0:
+        return 0.0
+    step = (t1 - t0) / 200.0
+    covered = 0
+    for i in range(200):
+        t = t0 + (i + 0.5) * step
+        if all(any(r["start"] <= t <= r["end"] for r in o["reps"]) for o in others):
+            covered += 1
+    return covered / 200.0
+
+
+def _phase_b(raw: str, work: str) -> float:
+    res = _result(_launch(PIN_B, N_HI, raw, os.path.join(work, "iso_b"), None, "b", 1))
+    return min(r["sec"] for r in res["reps"] if r["rep"] > 0)
 
 
 def main() -> None:
@@ -95,28 +190,56 @@ def main() -> None:
 
     per_round = []
     for r in range(rounds):
-        load1 = os.getloadavg()[0]
-        # phase A: 4 concurrent "executors" of local[4] on cores 0-15
+        load_pre = os.getloadavg()[0]
+        t16_pre = _phase_b(raw, work)
+        load_mid = os.getloadavg()[0]
+
+        barrier_dir = tempfile.mkdtemp(prefix=f"iso_barrier_r{r}_", dir="/dev/shm")
         procs = [
-            _launch(cores, N_LO, raw, os.path.join(work, f"iso_a{i}"))
+            _launch(cores, N_LO, raw, os.path.join(work, f"iso_a{i}"),
+                    barrier_dir, str(i), len(PINS_A))
             for i, cores in enumerate(PINS_A)
         ]
-        bests_a = [min(_reps(p)) for p in procs]
-        t4 = statistics.median(bests_a)
-        # phase B: one local[16] on the same cores, same weather window
-        t0_b = time.time()
-        t16 = min(_reps(_launch(PIN_B, N_HI, raw, os.path.join(work, "iso_b"))))
-        eff = t4 / (4.0 * t16)
+        results = [_result(p) for p in procs]
+        shutil.rmtree(barrier_dir, ignore_errors=True)
+        load_post_a = os.getloadavg()[0]
+        t16_post = _phase_b(raw, work)
+        load_post = os.getloadavg()[0]
+
+        positions = []
+        bests_a = []
+        for i, res in enumerate(results):
+            others = [results[j] for j in range(len(results)) if j != i]
+            timed = [rep for rep in res["reps"] if rep["rep"] > 0]
+            annotated = [
+                {**rep, "overlap": round(_overlap_fraction(rep, others), 3)}
+                for rep in timed
+            ]
+            eligible = [rep for rep in annotated if rep["overlap"] >= 0.9]
+            best = min((rep["sec"] for rep in eligible), default=None)
+            positions.append({
+                "pin": PINS_A[i],
+                "reps": [{k: rep[k] for k in ("rep", "sec", "overlap")} for rep in annotated],
+                "best_eligible": best,
+            })
+            if best is not None:
+                bests_a.append(best)
+        t4 = statistics.median(bests_a) if bests_a else None
+        t16 = min(t16_pre, t16_post)
+        eff = round(t4 / (4.0 * t16), 3) if t4 else None
         per_round.append({
-            "load1_at_launch": round(load1, 2),
-            "phase_a_bests_by_position": {PINS_A[i]: b for i, b in enumerate(bests_a)},
-            "t4_median_best": round(t4, 3),
+            "loadavg": {"pre": round(load_pre, 2), "after_b_pre": round(load_mid, 2),
+                        "after_a": round(load_post_a, 2), "after_b_post": round(load_post, 2)},
+            "t16_pre": round(t16_pre, 3), "t16_post": round(t16_post, 3),
+            "positions": positions,
+            "t4_median_best": round(t4, 3) if t4 else None,
             "t16_best": round(t16, 3),
-            "phase_b_wall": round(time.time() - t0_b, 1),
-            "efficiency_iso": round(eff, 3),
+            "efficiency_iso": eff,
         })
-        print(f"round {r}: T4(iso)={t4:.1f}s (positions {sorted(bests_a)}) "
-              f"T16={t16:.1f}s eff_iso={eff:.3f}", flush=True)
+        print(f"round {r}: T4(iso)={t4 and round(t4,1)}s "
+              f"(bests {sorted(round(b,1) for b in bests_a)}) "
+              f"T16={t16:.1f}s (pre {t16_pre:.1f} post {t16_post:.1f}) eff_iso={eff}",
+              flush=True)
         _write(per_round)
     if not reuse:
         shutil.rmtree(work, ignore_errors=True)
@@ -126,17 +249,21 @@ OUT_NAME = "iso_contention_raw.json"
 
 
 def _write(per_round) -> None:
-    effs = [r["efficiency_iso"] for r in per_round]
+    effs = [r["efficiency_iso"] for r in per_round if r["efficiency_iso"]]
     with open(os.path.join(REPO, "BENCH", OUT_NAME), "w") as f:
         json.dump({
             "levels": {"N": N_LO, "4N": N_HI},
-            "method": "iso-contention pair: phase A = 4 concurrent pinned local[4] "
-                      "JVMs on cores 0-15 (equal per-thread bandwidth to phase B; "
-                      "median of best reps), phase B = one pinned local[16] JVM on "
-                      "the same cores (best rep); same input, same weather window",
+            "method": "iso-contention pair v2: phase A = 4 concurrent pinned "
+                      "local[4] JVMs on cores 0-15 with a file barrier aligning "
+                      "every rep start, per-rep wall timestamps, reps kept only "
+                      "if >=0.9 of their duration overlaps all 3 co-runners' "
+                      "timed reps (median of positions' best eligible reps); "
+                      "phase B = one pinned local[16] JVM on the same cores, "
+                      "run before AND after phase A (min of the two bests); "
+                      "same input, loadavg recorded around every phase",
             "rounds": per_round,
-            "efficiency_iso_median": round(statistics.median(effs), 3),
-            "efficiency_iso_best": max(effs),
+            "efficiency_iso_median": round(statistics.median(effs), 3) if effs else None,
+            "efficiency_iso_best": max(effs) if effs else None,
         }, f, indent=2)
 
 
