@@ -41,6 +41,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import Observation  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from biomed_timeseries_preprocessing_spark.functions.codec import encode_chunks  # noqa: E402
@@ -245,9 +246,15 @@ def run(args, spark=None) -> dict:
         else:
             work_turns = part
             rows_in = None
-        derived = with_derived(work_turns).persist()
-        persisted.append(derived)
+        # derived is persisted ONLY when a second consumer (codec) exists;
+        # otherwise the 1m rollup is its sole consumer and caching it just
+        # adds reduce-side serialization to the heaviest stage (measured on
+        # the 54M-turn cascade probe: persist-chained 42.9 s vs read-back
+        # 37.6 s at local[16] — BENCH/BASELINE.md round-4 read-back note)
+        derived = with_derived(work_turns)
         if args.codec_chunks:
+            derived = derived.persist()
+            persisted.append(derived)
             # data files write lock-free (Iceberg model: uninstalled
             # uuid-dir files are invisible); only the snapshot swap
             # serializes
@@ -258,30 +265,51 @@ def run(args, spark=None) -> dict:
                 catalog.commit_overwrite_partitions(
                     "codec_chunks", chunk_files, {"bucket": b}
                 )
-        if rows_in is None:
-            rows_in = derived.count()
         df = None
+        prev_paths: list[str] = []
         bucket_rows_out = 0
-        for tier in tiers:
-            df = rollup_from_turns(derived, tier) if df is None else rollup_merge(df, tier)
-            df = df.persist()  # next tier merges from this materialized one
-            persisted.append(df)
+        for ti, tier in enumerate(tiers):
+            if ti == 0:
+                df = rollup_from_turns(derived, tier)
+            else:
+                # read-back chaining: tier k+1 merges from the (tiny)
+                # data files tier k just wrote — they are exactly the
+                # rows the old persist() held, already on fast storage
+                # and invisible to other readers until their commit.
+                # Dropping the tier persists removed the cache
+                # materialization from the wide stage (Iceberg jobs
+                # chain tables the same way)
+                df = rollup_merge(
+                    spark.read.parquet(*prev_paths) if prev_paths else df.limit(0),
+                    tier,
+                )
             # the lineage audit (count + extent + checksum) rides the
             # tier write via observe() — ONE Spark job per tier where
             # r3 ran two (audit pass, then write) and r1 ran four
             audited, obs = attach_audit(
                 df, ["conv_id", "bucket_start", "cnt", "sum_tokens"], "bucket_start"
             )
-            # the tier write (a Spark job over the cached frame) runs
-            # lock-free — holding the commit lock across it serialized
-            # all 4-tiers x all-buckets writes, the dominant serial
-            # section of the whole job (measured: see BENCH/BASELINE.md
-            # round-4 commit-path note); only the O(manifest) snapshot
-            # swap needs the lock
+            rows_obs = None
+            if ti == 0 and rows_in is None:
+                # sum(cnt) over the first tier == derived row count:
+                # the rows_in audit rides the same write job instead of
+                # a separate derived.count() action
+                rows_obs = Observation()
+                audited = audited.observe(
+                    rows_obs, F.sum("cnt").alias("rows_in")
+                )
+            # the tier write (a Spark job) runs lock-free — holding the
+            # commit lock across it serialized all 4-tiers x all-buckets
+            # writes, the dominant serial section of the whole job
+            # (measured: see BENCH/BASELINE.md round-4 commit-path
+            # note); only the O(manifest) snapshot swap needs the lock
             tier_files = catalog.write_data_files(
                 f"rollup_{tier}", audited, {"bucket": b}
             )
             rows_out, lo, hi, checksum = read_audit(obs)
+            if rows_obs is not None:
+                rows_in = int(rows_obs.get["rows_in"] or 0)
+            prev_paths = [f["path"] for f in tier_files]
             with commit_lock:
                 catalog.commit_overwrite_partitions(
                     f"rollup_{tier}", tier_files, {"bucket": b}
@@ -370,9 +398,13 @@ def run(args, spark=None) -> dict:
             else:
                 work_turns = part
                 tier_rows_in = None
-            derived = with_derived(work_turns).persist()
-            persisted.append(derived)
+            # persist derived only for the codec fan-out — the 1m rollup
+            # is otherwise its sole consumer (see the per-bucket
+            # scheduler's read-back note)
+            derived = with_derived(work_turns)
             if args.codec_chunks:
+                derived = derived.persist()
+                persisted.append(derived)
                 chunk_files = catalog.write_data_files_partitioned(
                     "codec_chunks",
                     encode_chunks(derived).withColumn("bucket", bcol),
@@ -382,30 +414,33 @@ def run(args, spark=None) -> dict:
                     catalog.commit_overwrite_partitions(
                         "codec_chunks", chunk_files.get(b, []), {"bucket": b}
                     )
-            if tier_rows_in is None:
-                tier_rows_in = {b: 0 for b in todo}
-                for r in derived.groupBy(bcol.alias("bucket")).agg(
-                    F.count(F.lit(1)).alias("n")
-                ).collect():
-                    tier_rows_in[int(r["bucket"])] = int(r["n"])
             df = None
-            for tier in tiers:
+            prev_read = None
+            for ti, tier in enumerate(tiers):
                 df = (
                     rollup_from_turns(derived, tier)
-                    if df is None
-                    else rollup_merge(df, tier)
+                    if ti == 0
+                    else rollup_merge(prev_read, tier)
                 )
-                df = df.persist()  # next tier merges from this one
-                persisted.append(df)
                 tier_files = catalog.write_data_files_partitioned(
                     f"rollup_{tier}", df.withColumn("bucket", bcol), "bucket"
                 )
-                # per-bucket audit off the frame the write just cached —
-                # same count/extent/checksum tuple the per-bucket
-                # scheduler records, one aggregate for all buckets
+                # read-back chaining (see per-bucket scheduler): the next
+                # tier AND the per-bucket audit read the tiny data files
+                # this tier just wrote instead of re-pinning the frame
+                paths = [
+                    e["path"] for entries in tier_files.values() for e in entries
+                ]
+                prev_read = (
+                    spark.read.parquet(*paths) if paths else df.limit(0)
+                )
+                # per-bucket audit off the just-written files — same
+                # count/extent/checksum tuple the per-bucket scheduler
+                # records, one (tiny) aggregate for all buckets; the
+                # first tier's sum(cnt) doubles as the derived row count
                 audit_rows = {
                     int(r["bucket"]): r
-                    for r in df.groupBy(bcol.alias("bucket"))
+                    for r in prev_read.groupBy(bcol.alias("bucket"))
                     .agg(
                         F.count(F.lit(1)).alias("n"),
                         F.min("bucket_start").alias("lo"),
@@ -415,9 +450,15 @@ def run(args, spark=None) -> dict:
                                 "conv_id", "bucket_start", "cnt", "sum_tokens"
                             ).cast("decimal(38,0)")
                         ).alias("c"),
+                        F.sum("cnt").alias("rows_in"),
                     )
                     .collect()
                 }
+                if ti == 0 and tier_rows_in is None:
+                    tier_rows_in = {
+                        b: int(audit_rows[b]["rows_in"]) if b in audit_rows else 0
+                        for b in todo
+                    }
                 for b in todo:
                     catalog.commit_overwrite_partitions(
                         f"rollup_{tier}", tier_files.get(b, []), {"bucket": b}
