@@ -116,15 +116,17 @@ for rep in range(n_reps):
     barrier(rep)
     t0 = time.time()
     turns = spark.read.parquet(raw)
-    prev = None
+    # read-back chaining, mirroring rollup_job since round 4 (see
+    # scaling_probe.PROBE_BODY note: persist-chained measured 42.9 vs
+    # read-back 37.6 s at local[16] on this input)
     for i, tier in enumerate(TIER_ORDER):
-        df = rollup_from_turns(with_derived(turns), tier) if i == 0 else rollup_merge(prev, tier)
-        df = df.persist()
+        if i == 0:
+            df = rollup_from_turns(with_derived(turns), tier)
+        else:
+            df = rollup_merge(
+                spark.read.parquet(os.path.join(work, f"t{{TIER_ORDER[i-1]}}_{{cpus}}_{{pos}}")), tier
+            )
         df.write.mode("overwrite").parquet(os.path.join(work, f"t{{tier}}_{{cpus}}_{{pos}}"))
-        if prev is not None:
-            prev.unpersist()
-        prev = df
-    prev.unpersist()
     t1 = time.time()
     reps.append({{"rep": rep, "start": t0, "end": t1, "sec": round(t1 - t0, 3)}})
 print("PROBEJSON " + json.dumps({{"cpus": cpus, "pos": pos, "n": n, "reps": reps}}))

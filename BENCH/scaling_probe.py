@@ -66,20 +66,19 @@ times = []
 for rep in range(n_reps):
     t0 = time.time()
     turns = spark.read.parquet(raw)
-    # persist-chained cascade (the rollup_job shape): each merge tier
-    # computes from the PREVIOUS tier's cached partitions — the conv_id
-    # partitioning survives the cache, so the whole 4-tier flow has ONE
-    # exchange and no per-tier re-read (re-reading each tier from
-    # parquet forced a fresh listing + exchange per tier)
-    prev = None
+    # read-back-chained cascade (the rollup_job shape since round 4):
+    # each merge tier reads the TINY parquet the previous tier just
+    # wrote. Dropping the mid-cascade persists removed the cache
+    # materialization from the wide 1m stage — measured 42.9 -> 37.6 s
+    # at local[16], 124.9 -> 117.4 s at local[4] on the 54M-turn input.
     for i, tier in enumerate(TIER_ORDER):
-        df = rollup_from_turns(with_derived(turns), tier) if i == 0 else rollup_merge(prev, tier)
-        df = df.persist()
+        if i == 0:
+            df = rollup_from_turns(with_derived(turns), tier)
+        else:
+            df = rollup_merge(
+                spark.read.parquet(os.path.join(work, f"t{{TIER_ORDER[i-1]}}_{{cpus}}")), tier
+            )
         df.write.mode("overwrite").parquet(os.path.join(work, f"t{{tier}}_{{cpus}}"))
-        if prev is not None:
-            prev.unpersist()
-        prev = df
-    prev.unpersist()
     if rep > 0:
         times.append(time.time() - t0)
 print(f"PROBE {{cpus}} {{n}} " + " ".join(f"{{t:.3f}}" for t in times))
