@@ -54,12 +54,26 @@ def get_spark(
         # initialPartitionNum scales with the session's core count, so
         # ONE config serves the sandbox and a 1000-executor cluster;
         # shuffle.partitions above remains only the non-AQE fallback.
-        # parallelismFirst (default true) keeps >= defaultParallelism
-        # partitions after coalescing, so skew leveling is preserved.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             str(16 * n_cores),
         )
+        # Multi-wave reduce stages (r4): AQE's coalesce target is
+        # min(advisory, max(totalShuffleBytes/defaultParallelism,
+        # minPartitionSize)). With defaultParallelism = cores (local
+        # default) that sizes every mid-size reduce stage to ONE task
+        # wave — on the 54M-turn cascade the entire window+sort+agg
+        # reduce stage ran as 18 tasks at 16 cores (1.1 waves: a 2-task
+        # tail while 14 cores idled), the dominant anti-wide bias in the
+        # N→4N gate. Raising defaultParallelism to 4×cores makes the
+        # size-based target aim at ~4 packed waves instead: measured
+        # 39.6 → 30.7 s at local[16] and 118.1 → 102.1 s at local[4]
+        # (solo 4→16 efficiency 0.73 → 0.83) with the 8m-advisory
+        # equivalent. Small inputs keep the 1MB floor (tiny stages stay
+        # ~cores-wide, not 2 giant partitions — a flat 8m advisory
+        # regressed the sf0.1 inline cascade 3.1 → 5.1 s); 100 TB
+        # shuffles cap at the 64m advisory, i.e. many waves regardless.
+        .config("spark.default.parallelism", str(4 * n_cores))
         # REQUIRED with the above on this engine: cached plans pin their
         # output partitioning by default, so the persist-chained tier
         # cascade would run full initialPartitionNum-wide stages with
