@@ -54,9 +54,10 @@ estimator (its own bias: phase A's four drivers also contend on the
 Python side, which biases AGAINST the narrow level, i.e. conservative
 for the gate).
 
-Usage: python BENCH/iso_contention.py [rounds] [reuse_work_dir] [out_name]
+Usage: python BENCH/iso_contention.py [rounds] [reuse_work_dir] [out_name] [n_lo]
        (reuse_work_dir must contain raw/ from a prior staging, e.g.
-        /dev/shm/scaling_r4; default stages 64k convs itself)
+        /dev/shm/scaling_r4; default stages 64k convs itself; n_lo
+        defaults to 4 — pass 8 for the 4 x local[8] vs local[32] pair)
 """
 
 from __future__ import annotations
@@ -75,6 +76,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_LO, N_HI, REPS = 4, 16, 4
 PINS_A = ["0-3", "4-7", "8-11", "12-15"]
 PIN_B = "0-15"
+
+
+def set_levels(n_lo: int) -> None:
+    """Re-derive the N / 4N levels and core pins (optional 4th CLI arg,
+    default 4): e.g. n_lo=8 runs 4 x local[8] on cores 0-31 vs one
+    local[32] — the iso-contention estimator at the north rule's
+    literally configured 8 -> 32 levels."""
+    global N_LO, N_HI, PINS_A, PIN_B
+    N_LO, N_HI = n_lo, 4 * n_lo
+    PINS_A = [f"{i * n_lo}-{(i + 1) * n_lo - 1}" for i in range(4)]
+    PIN_B = f"0-{N_HI - 1}"
 
 # Same cascade as scaling_probe.PROBE_BODY (rep 0 = untimed codegen
 # warmup; the timed region is the 4 tier-materialization jobs only),
@@ -176,6 +188,8 @@ def main() -> None:
     global OUT_NAME
     if len(sys.argv) > 3:
         OUT_NAME = sys.argv[3]
+    if len(sys.argv) > 4:
+        set_levels(int(sys.argv[4]))
     if reuse:
         work, raw = reuse, os.path.join(reuse, "raw")
     else:
