@@ -252,9 +252,9 @@ def main() -> None:
             "t16_best": round(t16, 3),
             "efficiency_iso": eff,
         })
-        print(f"round {r}: T4(iso)={t4 and round(t4,1)}s "
+        print(f"round {r}: T{N_LO}(iso)={t4 and round(t4,1)}s "
               f"(bests {sorted(round(b,1) for b in bests_a)}) "
-              f"T16={t16:.1f}s (pre {t16_pre:.1f} post {t16_post:.1f}) eff_iso={eff}",
+              f"T{N_HI}={t16:.1f}s (pre {t16_pre:.1f} post {t16_post:.1f}) eff_iso={eff}",
               flush=True)
         _write(per_round)
     if not reuse:
