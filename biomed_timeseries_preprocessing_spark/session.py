@@ -108,6 +108,10 @@ def get_spark(
             "spark.memory.offHeap.size",
             os.environ.get("SPARK_GRAFT_OFFHEAP", f"{512 * n_cores}m"),
         )
+        # advertised core count for downstream sizing decisions (e.g. the
+        # rollup job's bucket-scheduler pool) — defaultParallelism can't
+        # serve because this session overrides it to 4x cores above
+        .config("spark.graft.cores", str(n_cores))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
@@ -124,3 +128,15 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def engine_cores(spark: SparkSession) -> int:
+    """Core count the session was built for (executor slots on a cluster).
+
+    Reads the ``spark.graft.cores`` conf stamped by :func:`get_spark`;
+    falls back to ``defaultParallelism`` for sessions built elsewhere.
+    """
+    try:
+        return int(spark.conf.get("spark.graft.cores"))
+    except Exception:
+        return int(spark.sparkContext.defaultParallelism)

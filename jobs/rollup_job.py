@@ -59,7 +59,7 @@ from biomed_timeseries_preprocessing_spark.plans.lineage import (  # noqa: E402
     pending_buckets,
     read_audit,
 )
-from biomed_timeseries_preprocessing_spark.session import get_spark  # noqa: E402
+from biomed_timeseries_preprocessing_spark.session import engine_cores, get_spark  # noqa: E402
 from biomed_timeseries_preprocessing_spark.sources.catalog import get_catalog  # noqa: E402
 from biomed_timeseries_preprocessing_spark.sources.ingest import (  # noqa: E402
     text_equality_violations,
@@ -93,7 +93,9 @@ def parse_args(argv=None):
         type=int,
         default=0,
         help="per-bucket scheduler only: concurrent bucket pipelines "
-        "(0 = auto: min(4, buckets)); commits serialize under a lock "
+        "(0 = auto: min(buckets, max(4, cores//4)) — 8 beat 4 by ~14% "
+        "every rep at 32 cores, a wash at 8; BENCH/ab_workers.json); "
+        "commits serialize under a lock "
         "either way. Setting this implies --scheduler per-bucket.",
     )
     p.add_argument(
@@ -501,7 +503,13 @@ def run(args, spark=None) -> dict:
         # jobs — the cluster scheduler fills slot gaps one bucket's stage
         # barriers leave); the test kill-hook forces sequential so "fail
         # after N buckets committed" stays deterministic
-        workers = args.bucket_parallelism or min(4, max(1, len(todo)))
+        # auto pool size scales with the session's cores: 8 workers beat 4
+        # by ~14% on every rep at 32 cores (concurrent bucket pipelines
+        # fill the slot gaps each bucket's stage barriers leave) and tied
+        # at 8 cores — BENCH/ab_workers.json
+        workers = args.bucket_parallelism or min(
+            max(1, len(todo)), max(4, engine_cores(spark) // 4)
+        )
         if args.fail_after_buckets:
             workers = 1
         if workers <= 1:
