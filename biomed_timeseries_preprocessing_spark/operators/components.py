@@ -187,9 +187,23 @@ def connected_components(
     halving; converges in O(log diameter) rounds, each round two
     shuffles. Raises if ``max_iter`` rounds don't converge (a graph with
     diameter > 2^25 is not a dedup clustering problem)."""
-    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
-    ).distinct()
+    # symmetrize with ONE scan of the edge plan: a two-branch union
+    # (select(a,b) ∪ select(b,a)) evaluates the upstream twice, and the
+    # edge input here is typically an expensive unpersisted similarity
+    # plan — measured 27.4 → 16.5 s on the 50k-doc exact clusters path
+    # (BENCH/clusters_profile.json) just from not computing pairs twice
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                    F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
+        .distinct()
+    )
     sym = sym.localCheckpoint(eager=True)
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
     labels = labels.localCheckpoint(eager=True)
