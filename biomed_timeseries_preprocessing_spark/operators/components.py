@@ -38,6 +38,7 @@ def shared_shingle_pairs(
     threshold: float = 0.5,
     df_cap: int | None = None,
     prefix_filter: bool | None = None,
+    reuse_shingles: bool = True,
 ) -> DataFrame:
     """Exact near-dup pairs from the shingle inverted index: two docs are
     candidates iff they share ≥1 shingle (a guaranteed superset of any
@@ -87,6 +88,14 @@ def shared_shingle_pairs(
     """
     if prefix_filter is None:
         prefix_filter = False
+    if reuse_shingles:
+        # same reasoning as minhash_dedup: the shingle plan feeds up to
+        # four consumers (index side ×2 of the self-join, dfreq, sizes
+        # ×2) and Spark reuses none of those branches — the physical
+        # plan showed the corpus explode+distinct running 4× (sizes
+        # alone re-derived twice for the n_a and n_b builds). Lazy
+        # localCheckpoint tokenizes the corpus once.
+        shingled = shingled.localCheckpoint(eager=False)
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh = shingled
     need_full_verify = df_cap is not None or prefix_filter
