@@ -43,7 +43,6 @@ def one_run(spark, raw_path, work, tag):
                 "--source", raw_path,
                 "--warehouse", wh,
                 "--run-id", tag,
-                "--buckets", "8",
                 "--gapfill",
             ]
         ),

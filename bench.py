@@ -100,7 +100,6 @@ def run_job_headline(spark, raw_path: str, work: str, rep: int) -> float:
                 "--source", raw_path,
                 "--warehouse", wh,
                 "--run-id", f"bench-rep{rep}",
-                "--buckets", "8",
                 "--gapfill",
             ]
         ),

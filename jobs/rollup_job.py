@@ -73,7 +73,17 @@ def parse_args(argv=None):
     p.add_argument("--synth-convs", type=int, default=0)
     p.add_argument("--warehouse", required=True)
     p.add_argument("--run-id", required=True)
-    p.add_argument("--buckets", type=int, default=8)
+    p.add_argument(
+        "--buckets",
+        type=int,
+        default=0,
+        help="resume/commit units (0 = auto: one per ~512 MB of source, "
+        "floor 4, cap 4096). Interleaved A/Bs at 0.8M and 8.6M turns "
+        "both put 4 buckets ~1.3x faster than 8 and ~1.9x faster than "
+        "16 on one box — extra buckets are pure per-pipeline fixed "
+        "cost until the lake is big enough to need the resume "
+        "granularity, so the count scales with bytes, not a constant.",
+    )
     p.add_argument("--tiers", default=",".join(TIER_ORDER))
     p.add_argument("--master", default=None)
     p.add_argument("--no-resume", action="store_true")
@@ -121,10 +131,30 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def auto_buckets(spark, source: str | None, target_bytes: int = 512 << 20) -> int:
+    """Size the bucket count from the source: ~one resume/commit unit
+    per 512 MB of input, floor 4, cap 4096. Uses the Hadoop FileSystem
+    ContentSummary so any scheme the session can read also sizes; a
+    sizing failure (or synth source) falls back to the floor."""
+    size = None
+    if source:
+        try:
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(source)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            size = fs.getContentSummary(jpath).getLength()
+        except Exception:
+            size = None
+    if not size:
+        return 4
+    return int(min(4096, max(4, -(-size // target_bytes))))
+
+
 def run(args, spark=None) -> dict:
     own_spark = spark is None
     if own_spark:
         spark = get_spark(app_name=f"rollup-{args.run_id}", master=args.master)
+    if args.buckets <= 0:
+        args.buckets = auto_buckets(spark, args.source)
     catalog = get_catalog(args.warehouse)
     log = LineageLog(catalog, spark)
     tiers = [t for t in TIER_ORDER if t in set(args.tiers.split(","))]
