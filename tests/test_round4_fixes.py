@@ -207,3 +207,26 @@ def test_fingerprint_collision_free_on_driver_corpora(spark):
             F.countDistinct("canon").alias("n_canon"),
         ).collect()[0]
         assert got["n_fp"] == got["n_canon"], sf_dir
+
+
+# ------------- size-scaled auto bucket count (r4 seventh session)
+
+def test_auto_buckets_scales_with_source_bytes(spark, tmp_path):
+    """--buckets 0 sizes the resume/commit unit count from the source:
+    floor 4 for small lakes (measured: fewer buckets win at 0.8M and
+    8.6M turns on one box), one per ~512 MB beyond it, cap 4096. The
+    stage marker already encodes the modulus, so a re-run whose auto
+    count differs from a prior explicit run re-stages safely."""
+    from jobs.rollup_job import auto_buckets
+
+    src = str(tmp_path / "src")
+    spark.range(1000).selectExpr("cast(id as string) conv_id").write.parquet(src)
+    assert auto_buckets(spark, src) == 4  # tiny source → floor
+    assert auto_buckets(spark, None) == 4  # synth source → floor
+    assert auto_buckets(spark, str(tmp_path / "missing")) == 4  # unsizable → floor
+    # a source many multiples of the target hits the 4096 cap
+    assert auto_buckets(spark, src, target_bytes=1) == 4096
+    size = sum(
+        f.stat().st_size for f in (tmp_path / "src").iterdir() if f.is_file()
+    )
+    assert auto_buckets(spark, src, target_bytes=max(1, size // 6)) in (6, 7)
