@@ -196,9 +196,24 @@ class LineageLog:
 
 
 def pending_buckets(
-    log: LineageLog, run_id: str, stage: str, all_buckets: list[int]
+    log: LineageLog,
+    run_id: str,
+    stage: str,
+    all_buckets: list[int],
+    modulus: int | None = None,
 ) -> list[int]:
     """Resume = anti-join of the full bucket list against committed
-    lineage (the reference's missing checkpoint/resume, SURVEY §4)."""
+    lineage (the reference's missing checkpoint/resume, SURVEY §4).
+
+    ``modulus`` scopes the match to commits made under the same bucket
+    count (keys ``"{b}/{modulus}"``): bucket index 3 of 8 and bucket 3
+    of 4 hold different conversations, so a resume under a changed
+    modulus (now reachable without user action via --buckets 0 auto
+    sizing when the source grew) must re-run every bucket rather than
+    skip indices committed under the old partitioning."""
     done = log.committed(run_id, stage)
-    return [b for b in all_buckets if str(b) not in done]
+
+    def key(b: int) -> str:
+        return f"{b}/{modulus}" if modulus is not None else str(b)
+
+    return [b for b in all_buckets if key(b) not in done]

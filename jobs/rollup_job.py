@@ -198,12 +198,20 @@ def run(args, spark=None) -> dict:
     staged = spark.read.parquet(staging)
 
     all_buckets = list(range(args.buckets))
+
+    def bkey(b: int) -> str:
+        # modulus-scoped lineage key: bucket 3-of-8 and 3-of-4 hold
+        # different conversations (see pending_buckets docstring)
+        return f"{b}/{args.buckets}"
+
     first_stage = f"rollup_{tiers[-1]}"  # a bucket counts as done when its
     # deepest tier committed — lineage rows for every tier are still written.
     todo = (
         all_buckets
         if args.no_resume
-        else pending_buckets(log, args.run_id, first_stage, all_buckets)
+        else pending_buckets(
+            log, args.run_id, first_stage, all_buckets, modulus=args.buckets
+        )
     )
     stats = {"buckets_total": len(all_buckets), "buckets_run": 0, "rows_out": 0}
     commit_lock = threading.Lock()  # snapshot catalog + lineage are
@@ -261,7 +269,7 @@ def run(args, spark=None) -> dict:
                 (
                     args.run_id,
                     "gapfill",
-                    str(b),
+                    bkey(b),
                     int(c["n"]) - n_filled,
                     n_filled,
                     None,
@@ -350,7 +358,7 @@ def run(args, spark=None) -> dict:
                 (
                     args.run_id,
                     f"rollup_{tier}",
-                    str(b),
+                    bkey(b),
                     rows_in,
                     rows_out,
                     lo,
@@ -424,7 +432,7 @@ def run(args, spark=None) -> dict:
                     n, nf = (int(r["n"]), int(r["nf"])) if r is not None else (0, 0)
                     tier_rows_in[b] = n
                     lineage_by_bucket[b].append(
-                        (args.run_id, "gapfill", str(b), n - nf, nf, None, None, 0, wall())
+                        (args.run_id, "gapfill", bkey(b), n - nf, nf, None, None, 0, wall())
                     )
                 work_turns = filled.drop("is_gap_filled")
             else:
@@ -501,7 +509,7 @@ def run(args, spark=None) -> dict:
                         (
                             args.run_id,
                             f"rollup_{tier}",
-                            str(b),
+                            bkey(b),
                             tier_rows_in[b],
                             rows_out,
                             r["lo"] if r is not None else None,

@@ -245,3 +245,31 @@ def test_two_phase_overwrite_invisible_until_commit(spark, tmp_path):
     cat.commit_overwrite_partitions("t", staged2, {"bucket": 0})
     assert sorted(r.v for r in cat.read(spark, "t").collect()) == [20, 21, 30]
     assert snap >= 2
+
+
+def test_resume_under_changed_bucket_modulus_reruns_everything(spark, tmp_path):
+    """Bucket 3-of-4 and 3-of-8 hold different conversations: a resume
+    whose bucket count differs from the killed run's (reachable without
+    user action once --buckets 0 auto-sizes from a source that grew)
+    must NOT skip bucket indices committed under the old modulus. The
+    modulus-scoped lineage keys make the resume re-run all buckets, and
+    the tiers come out identical to an uninterrupted run at the new
+    modulus (tier writes are partition overwrites — idempotent)."""
+    wh_a, wh_b = str(tmp_path / "a"), str(tmp_path / "b")
+
+    stats = run_job(job_args(warehouse=wh_a, run_id="r1", buckets=8), spark=spark)
+    assert stats["buckets_run"] == 8
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_job(
+            job_args(warehouse=wh_b, run_id="r1", buckets=4, fail_after_buckets=2),
+            spark=spark,
+        )
+    resumed = run_job(job_args(warehouse=wh_b, run_id="r1", buckets=8), spark=spark)
+    assert resumed["buckets_run"] == 8  # nothing skipped across the modulus change
+
+    cat_a, cat_b = LocalSnapshotCatalog(wh_a), LocalSnapshotCatalog(wh_b)
+    for tier in ("1m", "5m", "1h", "1d"):
+        a = read_sorted(cat_a, spark, f"rollup_{tier}")
+        b = read_sorted(cat_b, spark, f"rollup_{tier}")
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
