@@ -3,7 +3,7 @@
 Same process, same staged input, alternating arms so host weather hits
 both equally; rep 0 per arm is JVM/codegen warmup and is discarded.
 
-Usage: python BENCH/ab_scheduler.py [n_convs] [reps]
+Usage: python BENCH/ab_scheduler.py [n_convs] [reps] [buckets]
 Writes BENCH/ab_scheduler.json.
 """
 
@@ -24,7 +24,7 @@ from biomed_timeseries_preprocessing_spark.sources.synth import synth_transcript
 from jobs.rollup_job import parse_args, run  # noqa: E402
 
 
-def one_run(spark, raw_path, work, tag, scheduler) -> float:
+def one_run(spark, raw_path, work, tag, scheduler, buckets="8") -> float:
     wh = os.path.join(work, f"wh_{tag}")
     t0 = time.time()
     run(
@@ -33,7 +33,7 @@ def one_run(spark, raw_path, work, tag, scheduler) -> float:
                 "--source", raw_path,
                 "--warehouse", wh,
                 "--run-id", tag,
-                "--buckets", "8",
+                "--buckets", buckets,
                 "--gapfill",
                 "--scheduler", scheduler,
             ]
@@ -48,6 +48,7 @@ def one_run(spark, raw_path, work, tag, scheduler) -> float:
 def main() -> None:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    buckets = sys.argv[3] if len(sys.argv) > 3 else "8"
     spark = get_spark(app_name="ab_scheduler", master="local[32]")
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="ab_sched_", dir=base)
@@ -58,12 +59,13 @@ def main() -> None:
         spark.range(1_000_000).count()
         for rep in range(reps + 1):
             for arm in ("global", "per-bucket"):
-                el = one_run(spark, raw_path, work, f"{arm}_{rep}", arm)
+                el = one_run(spark, raw_path, work, f"{arm}_{rep}", arm, buckets)
                 if rep > 0:
                     times[arm].append(round(el, 2))
                 print(f"rep{rep} {arm}: {el:.2f}s", flush=True)
         out = {
             "n_convs": n_convs,
+            "buckets": buckets,
             "reps_sec": times,
             "best_sec": {a: min(t) for a, t in times.items()},
             "median_sec": {a: sorted(t)[len(t) // 2] for a, t in times.items()},
