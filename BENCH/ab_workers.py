@@ -3,11 +3,11 @@ the bench headline path (rollup_job.run, --buckets 8 --gapfill, sf0.1
 synthetic lake, local[32]).
 
 Motivation: BENCH/job_phase_profile.json showed best walls 8.48 s at 4
-workers vs 7.35 s at 8 — but the job's auto heuristic picks
-min(4, buckets). This A/B isolates ONLY the pool size on the exact
-bench path (fresh warehouse + fresh run-id per rep, staging included)
-so the auto default can be changed on a measurement, not the profile's
-side reading.
+workers vs 7.35 s at 8 while the job's auto heuristic then picked
+min(4, buckets). This A/B isolated ONLY the pool size on the exact
+bench path (fresh warehouse + fresh run-id per rep, staging included);
+the result (8 wins every rep at 32 cores, wash at 8 cores) set the
+shipped auto rule min(buckets, max(4, cores//4)).
 
 Usage: python BENCH/ab_workers.py [reps] [cpus]
        defaults: 3 32

@@ -4,7 +4,8 @@ Answers two questions the headline number alone can't:
   1. where the wall goes (staging vs per-bucket compute vs commit) —
      from the job's own lineage wall_ms plus bracketing timers;
   2. whether the bucket worker pool is sized right (4 vs 8 workers on
-     8 buckets at 32 cores).
+     8 buckets at 32 cores; the shipped auto rule scales both the pool
+     and the bucket count now — this profiler pins buckets=8).
 
 Usage: python BENCH/job_phase_profile.py [n_convs] [reps]
 Writes BENCH/job_phase_profile.json.
