@@ -269,14 +269,15 @@ def _write(per_round) -> None:
     with open(os.path.join(REPO, "BENCH", OUT_NAME), "w") as f:
         json.dump({
             "levels": {"N": N_LO, "4N": N_HI},
-            "method": "iso-contention pair v2: phase A = 4 concurrent pinned "
-                      "local[4] JVMs on cores 0-15 with a file barrier aligning "
-                      "every rep start, per-rep wall timestamps, reps kept only "
-                      "if >=0.9 of their duration overlaps all 3 co-runners' "
-                      "timed reps (median of positions' best eligible reps); "
-                      "phase B = one pinned local[16] JVM on the same cores, "
-                      "run before AND after phase A (min of the two bests); "
-                      "same input, loadavg recorded around every phase",
+            "method": f"iso-contention pair v2: phase A = 4 concurrent pinned "
+                      f"local[{N_LO}] JVMs on cores 0-{N_HI - 1} with a file "
+                      "barrier aligning every rep start, per-rep wall "
+                      "timestamps, reps kept only if >=0.9 of their duration "
+                      "overlaps all 3 co-runners' timed reps (median of "
+                      "positions' best eligible reps); phase B = one pinned "
+                      f"local[{N_HI}] JVM on the same cores, run before AND "
+                      "after phase A (min of the two bests); same input, "
+                      "loadavg recorded around every phase",
             "rounds": per_round,
             "efficiency_iso_median": round(statistics.median(effs), 3) if effs else None,
             "efficiency_iso_best": max(effs) if effs else None,
