@@ -297,14 +297,35 @@ def run(args, spark=None) -> dict:
             persisted.append(derived)
             # data files write lock-free (Iceberg model: uninstalled
             # uuid-dir files are invisible); only the snapshot swap
-            # serializes
+            # serializes. The blob/point audit rides the write via
+            # observe() — same one-job pattern as the tier audits.
+            cobs = Observation()
+            enc = encode_chunks(derived).observe(
+                cobs,
+                F.count(F.lit(1)).alias("blobs"),
+                F.sum("n").alias("pts"),
+            )
             chunk_files = catalog.write_data_files(
-                "codec_chunks", encode_chunks(derived), {"bucket": b}
+                "codec_chunks", enc, {"bucket": b}
             )
             with commit_lock:
                 catalog.commit_overwrite_partitions(
                     "codec_chunks", chunk_files, {"bucket": b}
                 )
+            cm = cobs.get
+            lineage_rows.append(
+                (
+                    args.run_id,
+                    "codec_chunks",
+                    bkey(b),
+                    int(cm["pts"] or 0),
+                    int(cm["blobs"] or 0),
+                    None,
+                    None,
+                    0,
+                    int((time.time() - t0) * 1000),
+                )
+            )
         df = None
         prev_paths: list[str] = []
         bucket_rows_out = 0
@@ -450,9 +471,44 @@ def run(args, spark=None) -> dict:
                     encode_chunks(derived).withColumn("bucket", bcol),
                     "bucket",
                 )
+                # per-bucket blob/point audit off the just-written files
+                # (bcol recomputed from conv_id — no dependence on the
+                # partition column), one tiny aggregate for all buckets;
+                # mirrors the tier-audit read-back below
+                cpaths = [
+                    e["path"] for entries in chunk_files.values() for e in entries
+                ]
+                codec_audit = (
+                    {
+                        int(r["bucket"]): r
+                        for r in spark.read.parquet(*cpaths)
+                        .groupBy(bcol.alias("bucket"))
+                        .agg(
+                            F.count(F.lit(1)).alias("blobs"),
+                            F.sum("n").alias("pts"),
+                        )
+                        .collect()
+                    }
+                    if cpaths
+                    else {}
+                )
                 for b in todo:
                     catalog.commit_overwrite_partitions(
                         "codec_chunks", chunk_files.get(b, []), {"bucket": b}
+                    )
+                    cr = codec_audit.get(b)
+                    lineage_by_bucket[b].append(
+                        (
+                            args.run_id,
+                            "codec_chunks",
+                            bkey(b),
+                            int(cr["pts"]) if cr is not None else 0,
+                            int(cr["blobs"]) if cr is not None else 0,
+                            None,
+                            None,
+                            0,
+                            wall(),
+                        )
                     )
             df = None
             prev_read = None

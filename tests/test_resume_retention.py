@@ -132,11 +132,22 @@ def test_job_with_gapfill_and_codec(spark, tmp_path):
     assert stats["buckets_run"] == 2
     cat = LocalSnapshotCatalog(str(tmp_path / "wh"))
     lin = cat.read(spark, "lineage").toPandas()
-    assert set(lin["stage"]) == {"stage_source", "gapfill", "rollup_1m", "rollup_1h"}
+    assert set(lin["stage"]) == {
+        "stage_source", "gapfill", "codec_chunks", "rollup_1m", "rollup_1h"
+    }
     gap_rows = lin[lin.stage == "gapfill"]
     assert len(gap_rows) == 2 and gap_rows["rows_out"].sum() > 0
     chunks = cat.read(spark, "codec_chunks")
     assert chunks.count() > 0
+    # codec lineage: rows_in = encoded points (== derived turn count),
+    # rows_out = blobs — matches the committed table exactly
+    codec_rows = lin[lin.stage == "codec_chunks"]
+    assert len(codec_rows) == 2
+    assert int(codec_rows["rows_out"].sum()) == chunks.count()
+    import pyspark.sql.functions as F
+    assert int(codec_rows["rows_in"].sum()) == int(
+        chunks.agg(F.sum("n")).collect()[0][0]
+    )
     # compressed strictly smaller than raw for the ts series
     import pyspark.sql.functions as F
     sums = chunks.select(F.sum("ts_bytes").alias("c"), F.sum("raw_bytes").alias("r")).collect()[0]
