@@ -25,6 +25,7 @@ from biomed_timeseries_preprocessing_spark import driver_queries_ext4  # noqa: E
 from biomed_timeseries_preprocessing_spark import driver_queries_ext5  # noqa: E402,F401  (round-3 queries)
 from biomed_timeseries_preprocessing_spark import driver_queries_ext6  # noqa: E402,F401  (round-4 queries)
 from biomed_timeseries_preprocessing_spark import driver_queries_ext7  # noqa: E402,F401  (round-4 metamorphic audits)
+from biomed_timeseries_preprocessing_spark import driver_queries_ext8  # noqa: E402,F401  (round-4 fill_label_gaps oracle)
 
 
 def entry(spark: SparkSession) -> DataFrame:
