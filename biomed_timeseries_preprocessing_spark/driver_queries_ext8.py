@@ -22,8 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .driver_queries import ORACLE, QUERIES, q  # noqa: F401
-from .operators.intervals import fill_label_gaps
-from .sources.events_adapter import load_events
+from .operators.intervals import anti_join_excludes, fill_label_gaps
+from .sources.events_adapter import (
+    EVENTS_AS_TRANSCRIPTS_NOGAP_SQL,
+    events_as_transcripts,
+    load_events,
+)
 
 __all__ = ["QUERIES", "ORACLE"]
 
@@ -117,3 +121,45 @@ def label_gapfill_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return fill_label_gaps(iv, spans, default_label="Background")
+
+
+# ------------------------------------------- P6: exclude anti range join
+
+_ERR_US = 10 * 60 * 1_000_000
+
+
+@q(
+    "exclude_anti_join_turns",
+    f"""
+WITH t AS ({EVENTS_AS_TRANSCRIPTS_NOGAP_SQL}),
+iv AS (
+  SELECT DISTINCT printf('conv_%08d', CAST(user_id AS INT)) AS conv_id,
+         ts AS start_ts,
+         make_timestamp(epoch_us(ts) + {_ERR_US}) AS end_ts
+  FROM events WHERE event_type = 'error'
+)
+SELECT t.conv_id, t.turn_idx, t.ts
+FROM t
+WHERE NOT EXISTS (
+  SELECT 1 FROM iv
+  WHERE iv.conv_id = t.conv_id AND iv.start_ts <= t.ts AND t.ts < iv.end_ts
+)
+""",
+)
+def exclude_anti_join_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    points = events_as_transcripts(ev, with_gaps=False).select(
+        "conv_id", "turn_idx", "ts"
+    )
+    excludes = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.format_string("conv_%08d", F.col("user_id").cast("int")).alias(
+                "conv_id"
+            ),
+            F.col("ts").alias("start_ts"),
+            F.timestamp_micros(F.unix_micros("ts") + _ERR_US).alias("end_ts"),
+        )
+        .distinct()
+    )
+    return anti_join_excludes(points, excludes)
