@@ -142,7 +142,10 @@ def band_reconstruction(
             {
                 "conv_id": pdf["conv_id"].iloc[0],
                 "idx": pdf["idx"].to_numpy(dtype=np.int32),
-                "recon_err": np.round(y - x, decimals),
+                # + 0.0 folds IEEE -0.0 (np.round of a tiny negative
+                # residual) to +0.0: value-hash comparators distinguish
+                # the sign bit even though -0.0 == 0.0.
+                "recon_err": np.round(y - x, decimals) + 0.0,
             }
         )
 

@@ -2,6 +2,8 @@
 numpy bit-exact, idempotence, Nyquist clamp (reference semantics:
 filter_signals, edf_reader.py:448-473)."""
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -91,6 +93,10 @@ def test_band_reconstruction_err_is_exact_zero(spark):
     df = spark.createDataFrame(rows, "conv_id string, idx int, value double")
     out = band_reconstruction(df, fs=1.0, edges=[0.0, 0.05, 0.2, 0.5], max_idx=128)
     errs = [r["recon_err"] for r in out.collect()]
-    assert len(errs) == 128 and all(e == 0.0 for e in errs)
+    # bit-pattern zero, not just == 0.0: -0.0 passes `==` but fails a
+    # value-hash comparator (round-4 driver postmortem)
+    assert len(errs) == 128 and all(
+        struct.pack("<d", e) == struct.pack("<d", 0.0) for e in errs
+    )
     with pytest.raises(ValueError):
         band_reconstruction(df, fs=1.0, edges=[0.0, 0.2])  # doesn't span nyquist

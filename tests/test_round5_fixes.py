@@ -1,0 +1,48 @@
+"""Round-5 regression tests: the -0.0 emission postmortem (VERDICT_r4 #1)
+— local checker must compare floats by bit pattern so local green predicts
+the driver's value-hash green."""
+
+import struct
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo/tools")
+
+from check_contract import compare, float_bits  # noqa: E402
+
+
+def test_float_bits_distinguishes_negative_zero():
+    a = pd.Series([-0.0, 0.0, 1.5])
+    b = pd.Series([0.0, 0.0, 1.5])
+    bits_a, bits_b = float_bits(a), float_bits(b)
+    assert bits_a[0] != bits_b[0]  # -0.0 vs +0.0: different bit patterns
+    assert bits_a[1] == bits_b[1] and bits_a[2] == bits_b[2]
+
+
+def test_float_bits_normalizes_nan():
+    # two distinct NaN payloads must compare equal after canonicalization
+    weird_nan = struct.unpack("<d", struct.pack("<Q", 0x7FF8000000000001))[0]
+    a = pd.Series([np.nan, 1.0])
+    b = pd.Series([weird_nan, 1.0])
+    assert (float_bits(a) == float_bits(b)).all()
+
+
+def test_compare_fails_on_negative_zero_like_the_driver_hash():
+    spark_pdf = pd.DataFrame({"k": [1, 2], "v": [-0.0, 3.0]})
+    duck_pdf = pd.DataFrame({"k": [1, 2], "v": [0.0, 3.0]})
+    problems = compare("neg_zero", spark_pdf, duck_pdf)
+    assert problems and "v" in problems[0]
+    # and identical frames (including the sign bit) pass
+    assert compare("same", spark_pdf, spark_pdf.copy()) == []
+
+
+def test_round_plus_zero_folds_sign_bit():
+    # the filters.py emission pattern: np.round of a tiny negative residual
+    # yields -0.0; + 0.0 must fold it to +0.0 without touching real values
+    r = np.round(np.array([-1e-15, 1e-15, -2.5e-10, 0.25]), 9) + 0.0
+    assert struct.pack("<d", r[0]) == struct.pack("<d", 0.0)
+    assert struct.pack("<d", r[1]) == struct.pack("<d", 0.0)
+    assert struct.pack("<d", r[2]) == struct.pack("<d", 0.0)
+    assert r[3] == 0.25

@@ -39,6 +39,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def float_bits(s: pd.Series) -> np.ndarray:
+    """float64 values as uint64 bit patterns, all NaNs canonicalized.
+
+    Strictly stricter than `==` on the sign of zero (distinguishes -0.0
+    from +0.0, as a value hash does) while keeping NaN == NaN."""
+    v = s.astype("float64").to_numpy(copy=True)
+    bits = v.view(np.uint64).copy()
+    bits[np.isnan(v)] = np.array(np.nan, dtype=np.float64).view(np.uint64)
+    return bits
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_pdf) != len(duck_pdf):
@@ -52,10 +63,11 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         for c in a.columns:
             av, bv = a[c], b[c]
             if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
-                eq = (
-                    (av.isna() & bv.isna())
-                    | (av.astype("float64").to_numpy() == bv.astype("float64").to_numpy())
-                )
+                # Bit-pattern equality, NaN-normalized: the driver hashes
+                # values, so -0.0 != 0.0 there even though they compare ==.
+                # A `==` here would pass locally what the driver fails
+                # (round-4 bandpass_reconstruction postmortem).
+                eq = float_bits(av) == float_bits(bv)
             elif pd.api.types.is_datetime64_any_dtype(av) or pd.api.types.is_datetime64_any_dtype(bv):
                 eq = pd.Series(
                     av.astype("datetime64[us]").to_numpy()
