@@ -16,6 +16,21 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def parse_local_cores(master: str) -> int | None:
+    """Core count of a ``local[n]``/``local[*]`` master, else None.
+
+    None means "cluster master (yarn, spark://, k8s://, local-cluster)":
+    the session must NOT pin per-core configs (spark.default.parallelism,
+    spark.graft.cores) from a guessed count there — Spark's
+    executor-derived defaultParallelism is the right value (ADVICE r4)."""
+    if not master.startswith("local[") or not master.endswith("]"):
+        return None
+    inner = master[len("local[") : -1]
+    if inner == "*":
+        return os.cpu_count() or 32
+    return int(inner) if inner.isdigit() else None
+
+
 def get_spark(
     app_name: str = "transcript-rollup-engine",
     master: str | None = None,
@@ -31,8 +46,8 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"
-    _n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
-    n_cores = int(_n) if _n.isdigit() else 32
+    local_n = parse_local_cores(master)
+    n_cores = local_n if local_n is not None else 32
     if shuffle_partitions is None:
         # 4 shuffle partitions per core (not 1): with zipf-skewed
         # conversations, wall time follows the LARGEST partition, and at
@@ -73,8 +88,10 @@ def get_spark(
         # ~cores-wide, not 2 giant partitions — a flat 8m advisory
         # regressed the sf0.1 inline cascade 3.1 → 5.1 s); 100 TB
         # shuffles cap at the 64m advisory, i.e. many waves regardless.
-        .config("spark.default.parallelism", str(4 * n_cores))
-        # REQUIRED with the above on this engine: cached plans pin their
+        # (set below only when the core count is actually known — on
+        # cluster masters Spark derives defaultParallelism from the
+        # executors, which is the right value to leave alone)
+        # REQUIRED with the multi-wave tuning: cached plans pin their
         # output partitioning by default, so the persist-chained tier
         # cascade would run full initialPartitionNum-wide stages with
         # AQE coalesce silently disabled — measured 3.7 → 6.0 s (inline
@@ -108,10 +125,6 @@ def get_spark(
             "spark.memory.offHeap.size",
             os.environ.get("SPARK_GRAFT_OFFHEAP", f"{512 * n_cores}m"),
         )
-        # advertised core count for downstream sizing decisions (e.g. the
-        # rollup job's bucket-scheduler pool) — defaultParallelism can't
-        # serve because this session overrides it to 4x cores above
-        .config("spark.graft.cores", str(n_cores))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
@@ -123,6 +136,15 @@ def get_spark(
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     )
+    if local_n is not None:
+        # multi-wave reduce sizing (see the long note above) and the
+        # advertised core count for downstream pool sizing — pinned only
+        # when the core count is actually known (local[n] / local[*]);
+        # cluster masters keep Spark's executor-derived defaultParallelism
+        # and engine_cores() falls back to it
+        builder = builder.config(
+            "spark.default.parallelism", str(4 * local_n)
+        ).config("spark.graft.cores", str(local_n))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

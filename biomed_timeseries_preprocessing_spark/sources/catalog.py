@@ -27,6 +27,7 @@ Iceberg catalog is a constructor change, not a rewrite.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -34,6 +35,17 @@ import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+try:  # POSIX cross-process advisory lock (this sandbox / any Linux box)
+    import fcntl
+except ImportError:  # pragma: no cover - non-POSIX
+    fcntl = None
+
+
+class CommitConflictError(RuntimeError):
+    """Another committer changed the target partition since the base
+    snapshot was read (Iceberg's snapshot-validation failure for
+    concurrent overwrites of the same partition)."""
 
 
 @dataclass
@@ -48,11 +60,39 @@ class LocalSnapshotCatalog:
     def _meta(self, table: str) -> str:
         return os.path.join(self._tdir(table), "metadata")
 
+    @contextlib.contextmanager
+    def _commit_mutex(self, table: str):
+        """Cross-PROCESS commit serialization per table: flock on a lock
+        file in the table's metadata dir, held across the read-current →
+        write-snapshot → swap-pointer critical section. The in-process
+        analog is rollup_job's commit_lock; this closes the gap for two
+        concurrent *jobs* committing disjoint partitions of one table
+        (both land; no lost update). A real deployment gets this from the
+        Iceberg catalog's atomic compare-and-swap instead — same
+        contract, different primitive. O(manifest) hold time only: data
+        files are written OUTSIDE this mutex (write_data_files)."""
+        meta = self._meta(table)
+        os.makedirs(meta, exist_ok=True)
+        with open(os.path.join(meta, "commit.lock"), "a+") as lf:
+            if fcntl is not None:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                if fcntl is not None:
+                    fcntl.flock(lf, fcntl.LOCK_UN)
+
     def _current(self, table: str) -> dict | None:
         path = os.path.join(self._meta(table), "current.json")
         if not os.path.exists(path):
             return None
         with open(path) as f:
+            return json.load(f)
+
+    def _snap_by_id(self, table: str, snapshot_id: int) -> dict:
+        with open(
+            os.path.join(self._meta(table), f"snap-{snapshot_id:08d}.json")
+        ) as f:
             return json.load(f)
 
     def _commit(self, table: str, files: list[dict], operation: str, parent: dict | None) -> dict:
@@ -94,9 +134,8 @@ class LocalSnapshotCatalog:
     # ---------------------------------------------------------- surface
     def append(self, table: str, df: DataFrame, partition_values: dict | None = None) -> int:
         """Append df as new data files; snapshot = parent files + new."""
-        cur = self._current(table)
-        files = (cur["files"] if cur else []) + self._write_data(table, df, partition_values)
-        return self._commit(table, files, "append", cur)["snapshot_id"]
+        new_files = self._write_data(table, df, partition_values)  # lock-free
+        return self.append_files(table, new_files)
 
     def overwrite_partitions(
         self, table: str, df: DataFrame, partition_values: dict
@@ -158,38 +197,82 @@ class LocalSnapshotCatalog:
         produce their parquet files driver-side without a Spark job —
         e.g. lineage rows, a handful of tuples per commit, written via
         pyarrow — so the serialized commit section stays O(manifest)."""
-        cur = self._current(table)
-        files = (cur["files"] if cur else []) + new_files
-        return self._commit(table, files, "append", cur)["snapshot_id"]
+        with self._commit_mutex(table):
+            cur = self._current(table)
+            files = (cur["files"] if cur else []) + new_files
+            return self._commit(table, files, "append", cur)["snapshot_id"]
 
     def commit_overwrite_partitions(
-        self, table: str, new_files: list[dict], partition_values: dict
+        self,
+        table: str,
+        new_files: list[dict],
+        partition_values: dict,
+        base_snapshot_id: int | None = None,
     ) -> int:
-        """Phase 2: metadata-only snapshot swap (caller holds any
-        cross-thread commit lock). O(manifest) — no Spark job."""
-        cur = self._current(table)
-        keep = [
-            f
-            for f in (cur["files"] if cur else [])
-            if any(f["partition"].get(k) != v for k, v in partition_values.items())
-        ]
-        return self._commit(table, keep + new_files, "overwrite", cur)["snapshot_id"]
+        """Phase 2: metadata-only snapshot swap under the cross-process
+        commit mutex. O(manifest) — no Spark job.
+
+        ``base_snapshot_id`` opts into Iceberg's serializable overwrite
+        validation: if another commit changed the files of the TARGET
+        partition since that snapshot, raise :class:`CommitConflictError`
+        instead of silently clobbering the concurrent writer. Commits to
+        disjoint partitions never conflict — both land."""
+
+        def _part_files(snap: dict | None) -> list[str]:
+            if snap is None:
+                return []
+            return sorted(
+                f["path"]
+                for f in snap["files"]
+                if all(f["partition"].get(k) == v for k, v in partition_values.items())
+            )
+
+        with self._commit_mutex(table):
+            cur = self._current(table)
+            if (
+                base_snapshot_id is not None
+                and cur is not None
+                and cur["snapshot_id"] != base_snapshot_id
+            ):
+                try:
+                    base = self._snap_by_id(table, base_snapshot_id)
+                except FileNotFoundError as e:
+                    raise CommitConflictError(
+                        f"{table}: base snapshot {base_snapshot_id} expired "
+                        f"— cannot validate overwrite of {partition_values}"
+                    ) from e
+                if _part_files(cur) != _part_files(base):
+                    raise CommitConflictError(
+                        f"{table}: partition {partition_values} changed between "
+                        f"snapshot {base_snapshot_id} and {cur['snapshot_id']} "
+                        f"— concurrent overwrite rejected (retry from current)"
+                    )
+            keep = [
+                f
+                for f in (cur["files"] if cur else [])
+                if any(f["partition"].get(k) != v for k, v in partition_values.items())
+            ]
+            return self._commit(table, keep + new_files, "overwrite", cur)["snapshot_id"]
 
     def overwrite(self, table: str, df: DataFrame) -> int:
-        cur = self._current(table)
-        files = self._write_data(table, df, None)
-        return self._commit(table, files, "overwrite", cur)["snapshot_id"]
+        files = self._write_data(table, df, None)  # lock-free
+        with self._commit_mutex(table):
+            cur = self._current(table)
+            return self._commit(table, files, "overwrite", cur)["snapshot_id"]
 
     def delete_files_where(self, table: str, predicate) -> int:
         """Metadata-only delete: drop whole data files whose partition
         metadata matches ``predicate(partition_dict) -> bool`` (Iceberg's
         partition-level delete — no data rewrite)."""
-        cur = self._current(table)
-        if cur is None:
-            return 0
-        files = [f for f in cur["files"] if not predicate(f["partition"])]
-        self._commit(table, files, "delete", cur)
-        return len(cur["files"]) - len(files)
+        with self._commit_mutex(table):
+            cur = self._current(table)
+            if cur is None:
+                return 0
+            files = [f for f in cur["files"] if not predicate(f["partition"])]
+            if len(files) == len(cur["files"]):
+                return 0  # nothing matched — skip the no-op snapshot
+            self._commit(table, files, "delete", cur)
+            return len(cur["files"]) - len(files)
 
     def read(self, spark: SparkSession, table: str, snapshot_id: int | None = None) -> DataFrame:
         if snapshot_id is None:
@@ -215,19 +298,22 @@ class LocalSnapshotCatalog:
     def expire_snapshots(self, table: str, keep_last: int = 3) -> int:
         """Drop old snapshot manifests and any data files referenced only
         by them (time travel shrinks; current is never touched)."""
-        snaps = self.snapshots(table)
-        if len(snaps) <= keep_last:
-            return 0
-        live, dead = snaps[-keep_last:], snaps[:-keep_last]
-        live_files = {f["path"] for s in live for f in s["files"]}
-        removed = 0
-        for s in dead:
-            for f in s["files"]:
-                if f["path"] not in live_files and os.path.exists(f["path"]):
-                    os.remove(f["path"])
-                    removed += 1
-            os.remove(os.path.join(self._meta(table), f"snap-{s['snapshot_id']:08d}.json"))
-        return removed
+        with self._commit_mutex(table):
+            snaps = self.snapshots(table)
+            if len(snaps) <= keep_last:
+                return 0
+            live, dead = snaps[-keep_last:], snaps[:-keep_last]
+            live_files = {f["path"] for s in live for f in s["files"]}
+            removed = 0
+            for s in dead:
+                for f in s["files"]:
+                    if f["path"] not in live_files and os.path.exists(f["path"]):
+                        os.remove(f["path"])
+                        removed += 1
+                os.remove(
+                    os.path.join(self._meta(table), f"snap-{s['snapshot_id']:08d}.json")
+                )
+            return removed
 
 
 def get_catalog(warehouse: str):

@@ -110,12 +110,14 @@ def parse_args(argv=None):
     )
     p.add_argument(
         "--scheduler",
-        choices=["per-bucket", "global"],
-        default="per-bucket",
-        help="'per-bucket' (default): independent pipeline per bucket "
-        "in a thread pool — stages of different buckets overlap, which "
-        "measured 10-15%% faster than the global barrier plan on this "
-        "box (BENCH/ab_scheduler.json) and gives small failure/retry "
+        choices=["auto", "per-bucket", "global"],
+        default="auto",
+        help="'auto' (default): per-bucket on a single-JVM local master, "
+        "global on a multi-executor cluster master — see "
+        "resolve_scheduler. 'per-bucket': independent pipeline per "
+        "bucket in a thread pool — stages of different buckets overlap, "
+        "which measured 10-15%% faster than the global barrier plan on "
+        "one box (BENCH/ab_scheduler.json) and gives small failure/retry "
         "domains. 'global': ONE partitioned Spark job per stage over "
         "all pending buckets, per-bucket commit atomicity kept by "
         "slicing the partitionBy(bucket) output per directory "
@@ -129,6 +131,26 @@ def parse_args(argv=None):
         help="test hook: simulate a kill after N buckets committed",
     )
     return p.parse_args(argv)
+
+
+def resolve_scheduler(master: str, choice: str = "auto") -> str:
+    """Pick the bucket scheduler for the deployment shape (VERDICT r4 #4).
+
+    'auto' → 'per-bucket' on a single-JVM local master (local / local[n] /
+    local[*]), where overlapping independent bucket pipelines measured
+    10-15% faster than the global barrier plan (BENCH/ab_scheduler.json);
+    → 'global' on any multi-executor master (yarn, spark://, k8s://,
+    local-cluster), where one partitionBy(bucket) job per stage is the
+    shape that saturates a wide cluster once bucket count >> driver pool
+    size. Both schedulers produce bit-identical tables and lineage
+    (BENCH/scheduler_identity_scale.json, proven at 54M turns), so the
+    flip is purely a throughput decision. An explicit choice wins."""
+    if choice != "auto":
+        return choice
+    is_local = master == "local" or (
+        master.startswith("local[") and not master.startswith("local-cluster")
+    )
+    return "per-bucket" if is_local else "global"
 
 
 def auto_buckets(spark, source: str | None, target_bytes: int = 512 << 20) -> int:
@@ -214,6 +236,27 @@ def run(args, spark=None) -> dict:
         )
     )
     stats = {"buckets_total": len(all_buckets), "buckets_run": 0, "rows_out": 0}
+    # Purge partitions left over from a LARGER bucket modulus before any
+    # tier commit: lineage keys are modulus-scoped, so a shrink (e.g.
+    # auto-sizing 8 -> 4 on a warehouse written under the old default)
+    # reruns every bucket 0..N-1 — but commit_overwrite_partitions only
+    # replaces matching {bucket: b} partitions, so bucket >= N would keep
+    # the old run's rows while their conversations are re-bucketed into
+    # 0..N-1 (silent duplicates). Only tables THIS run rewrites are
+    # purged (a table the run doesn't touch keeps its old, internally
+    # consistent snapshot); metadata-only, and a no-op snapshot is
+    # skipped when no stale partition exists (the common case).
+    for stale_table in [f"rollup_{t}" for t in tiers] + (
+        ["codec_chunks"] if args.codec_chunks else []
+    ):
+        n_purged = catalog.delete_files_where(
+            stale_table, lambda p: int(p.get("bucket", -1)) >= args.buckets
+        )
+        if n_purged:
+            print(
+                f"purged {n_purged} stale data files (bucket >= {args.buckets}) "
+                f"from {stale_table} — prior run used a larger bucket modulus"
+            )
     commit_lock = threading.Lock()  # snapshot catalog + lineage are
     # last-writer-wins files; commits must serialize. Compute does not:
     # buckets are independent Spark jobs and the scheduler interleaves
@@ -584,7 +627,9 @@ def run(args, spark=None) -> dict:
             log.commit_many(args.run_id, lineage_by_bucket[b])
             stats["buckets_run"] += 1
 
-    scheduler = getattr(args, "scheduler", "per-bucket")
+    scheduler = resolve_scheduler(
+        spark.sparkContext.master, getattr(args, "scheduler", "auto")
+    )
     per_bucket = (
         scheduler == "per-bucket"
         or bool(args.fail_after_buckets)

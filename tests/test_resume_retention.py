@@ -258,6 +258,34 @@ def test_two_phase_overwrite_invisible_until_commit(spark, tmp_path):
     assert snap >= 2
 
 
+def test_rerun_under_shrunk_bucket_modulus_purges_stale_partitions(spark, tmp_path):
+    """SHRINK direction (ADVICE r4 high): a warehouse written under 8
+    buckets and rerun with 4 (reachable without user action: --buckets 0
+    auto-sized the old default to 8, the new floor is 4) must not keep
+    partitions bucket >= 4 from the old run — their conversations are
+    re-bucketed into 0..3, so stale partitions mean silent duplicate
+    rows. The job purges bucket >= N before any tier commit, and the
+    result equals a fresh run at the new modulus."""
+    wh_a, wh_b = str(tmp_path / "a"), str(tmp_path / "b")
+
+    # fresh run at the new (smaller) modulus — the expected end state
+    run_job(job_args(warehouse=wh_a, run_id="r1", buckets=4), spark=spark)
+
+    # old run at 8, then rerun of the same warehouse+run-id at 4
+    run_job(job_args(warehouse=wh_b, run_id="r1", buckets=8), spark=spark)
+    rerun = run_job(job_args(warehouse=wh_b, run_id="r1", buckets=4), spark=spark)
+    assert rerun["buckets_run"] == 4  # modulus-scoped keys rerun everything
+
+    cat_a, cat_b = LocalSnapshotCatalog(wh_a), LocalSnapshotCatalog(wh_b)
+    for tier in ("1m", "5m", "1h", "1d"):
+        b = read_sorted(cat_b, spark, f"rollup_{tier}")
+        # no duplicates: each (conv_id, bucket_start) appears exactly once
+        assert not b.duplicated(subset=["conv_id", "bucket_start"]).any()
+        pd.testing.assert_frame_equal(
+            read_sorted(cat_a, spark, f"rollup_{tier}"), b, check_exact=True
+        )
+
+
 def test_resume_under_changed_bucket_modulus_reruns_everything(spark, tmp_path):
     """Bucket 3-of-4 and 3-of-8 hold different conversations: a resume
     whose bucket count differs from the killed run's (reachable without

@@ -2,15 +2,17 @@
 — local checker must compare floats by bit pattern so local green predicts
 the driver's value-hash green."""
 
+import os
 import struct
 import sys
 
 import numpy as np
 import pandas as pd
+import pytest
 
 sys.path.insert(0, "/root/repo/tools")
 
-from check_contract import compare, float_bits  # noqa: E402
+from check_contract import compare, float_bits, run_gate  # noqa: E402
 
 
 def test_float_bits_distinguishes_negative_zero():
@@ -38,6 +40,37 @@ def test_compare_fails_on_negative_zero_like_the_driver_hash():
     assert compare("same", spark_pdf, spark_pdf.copy()) == []
 
 
+def test_resolve_scheduler_auto_follows_deployment_shape():
+    # VERDICT r4 #4: the scheduler flips itself — per-bucket thread pool
+    # on a single JVM, one partitioned job per stage on a wide cluster
+    from jobs.rollup_job import resolve_scheduler
+
+    assert resolve_scheduler("local[32]") == "per-bucket"
+    assert resolve_scheduler("local[*]") == "per-bucket"
+    assert resolve_scheduler("local") == "per-bucket"
+    assert resolve_scheduler("yarn") == "global"
+    assert resolve_scheduler("spark://host:7077") == "global"
+    assert resolve_scheduler("k8s://https://host:443") == "global"
+    assert resolve_scheduler("local-cluster[2,2,1024]") == "global"
+    # explicit choice always wins over the heuristic
+    assert resolve_scheduler("yarn", "per-bucket") == "per-bucket"
+    assert resolve_scheduler("local[8]", "global") == "global"
+
+
+def test_parse_local_cores_cluster_masters_are_unpinned():
+    # ADVICE r4: per-core configs (default.parallelism, graft.cores) must
+    # only be pinned when the core count is actually known
+    from biomed_timeseries_preprocessing_spark.session import parse_local_cores
+
+    assert parse_local_cores("local[8]") == 8
+    assert parse_local_cores("local[32]") == 32
+    assert isinstance(parse_local_cores("local[*]"), int)
+    assert parse_local_cores("yarn") is None
+    assert parse_local_cores("spark://host:7077") is None
+    assert parse_local_cores("local-cluster[2,2,1024]") is None
+    assert parse_local_cores("local") is None
+
+
 def test_round_plus_zero_folds_sign_bit():
     # the filters.py emission pattern: np.round of a tiny negative residual
     # yields -0.0; + 0.0 must fold it to +0.0 without touching real values
@@ -46,3 +79,15 @@ def test_round_plus_zero_folds_sign_bit():
     assert struct.pack("<d", r[1]) == struct.pack("<d", 0.0)
     assert struct.pack("<d", r[2]) == struct.pack("<d", 0.0)
     assert r[3] == 0.25
+
+
+def test_full_oracle_gate_bit_exact_at_sf0001(spark):
+    """VERDICT r4 #7: run ALL driver queries through the bit-pattern
+    comparator at a second SF (the driver itself covers sf0.01 every
+    round). Any -0.0 / NaN-payload emission anywhere in the oracle
+    surface fails here before it can fail the driver's value hash."""
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    failed = run_gate(spark, sf_dir, quiet=True)
+    assert failed == []

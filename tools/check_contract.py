@@ -87,44 +87,54 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+def run_gate(spark, sf_dir: str, only: set[str] | None = None, quiet: bool = False) -> list[str]:
+    """Run every queries() entry vs its oracle on ``sf_dir`` with the
+    bit-exact comparator; return the list of failing query names.
+    Reusable from pytest with an existing session (the float-hygiene
+    sweep runs this at a second SF without paying a JVM startup)."""
     import __spark_entry__ as entrymod
-    from biomed_timeseries_preprocessing_spark.session import get_spark
 
-    spark = get_spark(master="local[8]")
     con = duck_con(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failed = []
+    say = (lambda *_: None) if quiet else print
     for name, fn in qs.items():
         if only and name not in only:
             continue
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
-            print(f"[FAIL] {name}: spark error: {e}")
+            say(f"[FAIL] {name}: spark error: {e}")
             failed.append(name)
             continue
         if name not in oracles:
-            print(f"[rows-only] {name}: {len(spark_pdf)} rows")
+            say(f"[rows-only] {name}: {len(spark_pdf)} rows")
             continue
         try:
             duck_pdf = con.execute(oracles[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
-            print(f"[FAIL] {name}: duckdb error: {e}")
+            say(f"[FAIL] {name}: duckdb error: {e}")
             failed.append(name)
             continue
         problems = compare(name, spark_pdf, duck_pdf)
         if problems:
-            print(f"[FAIL] {name}:")
+            say(f"[FAIL] {name}:")
             for p in problems:
-                print(f"       {p}")
+                say(f"       {p}")
             failed.append(name)
         else:
-            print(f"[OK] {name}: {len(spark_pdf)} rows match")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} queries pass")
-    return 1 if failed else 0
+            say(f"[OK] {name}: {len(spark_pdf)} rows match")
+    say(f"\n{len(qs) - len(failed)}/{len(qs)} queries pass")
+    return failed
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    from biomed_timeseries_preprocessing_spark.session import get_spark
+
+    spark = get_spark(master="local[8]")
+    return 1 if run_gate(spark, sf_dir, only) else 0
 
 
 if __name__ == "__main__":
