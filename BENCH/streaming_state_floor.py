@@ -6,12 +6,14 @@ committed number like every other claim in BENCH/BASELINE.md.
 
 Method: deterministic synth transcripts staged as N_FILES parquet files
 (maxFilesPerTrigger=1 → N_FILES micro-batches, so state crosses batch
-boundaries); memory sink; one untimed warmup rep of each path, then
-best-of-REPS timed runs per cell. The JVM comparator streams the
-batch-derived table through the windowed 1m aggregate (complete mode) —
-pure Tungsten state; the Python path streams raw turns through the
-stateful gap-fill (append mode) — Arrow transfer + per-row pandas state
-machine.
+boundaries); NOOP sink (the memory sink collects every output row into
+driver heap as a LocalTableScan — it OOMed the 10x cell and would time
+the driver copy, not the operator); one untimed warmup rep of each
+path, then best-of-REPS timed runs per cell. The JVM comparator streams
+the batch-derived table through the windowed 1m aggregate (update mode,
+watermarked) — pure Tungsten state; the Python path streams raw turns
+through the stateful gap-fill (append mode) — Arrow transfer + pandas
+state machine per group.
 
 Usage: python BENCH/streaming_state_floor.py [out_json]
 Writes BENCH/streaming_state_floor.json.
@@ -31,10 +33,10 @@ from biomed_timeseries_preprocessing_spark.operators.derive import with_derived 
 from biomed_timeseries_preprocessing_spark.session import get_spark  # noqa: E402
 from biomed_timeseries_preprocessing_spark.sources.synth import synth_transcripts  # noqa: E402
 from biomed_timeseries_preprocessing_spark.streaming.gapfill_stream import (  # noqa: E402
-    run_gapfill_to_memory,
+    streaming_gapfill,
 )
 from biomed_timeseries_preprocessing_spark.streaming.rollup_stream import (  # noqa: E402
-    run_stream_to_memory,
+    streaming_rollup_1m,
 )
 
 N_FILES = 8
@@ -69,9 +71,9 @@ def main(out_json: str) -> None:
     result = {
         "method": (
             "same staged input (8 files, maxFilesPerTrigger=1 -> 8 micro-batches), "
-            "memory sink, untimed warmup then best-of-%d; python = "
+            "noop sink, untimed warmup then best-of-%d; python = "
             "applyInPandasWithState gap-fill (append), jvm = windowed 1m rollup "
-            "aggregate (complete); throughput = input turns / wall" % REPS
+            "aggregate (update, watermarked); throughput = input turns / wall" % REPS
         ),
         "master": spark.sparkContext.master,
         "cells": {},
@@ -81,13 +83,34 @@ def main(out_json: str) -> None:
     for label, n_convs in SCALES.items():
         raw, drv, n_turns = stage(spark, n_convs, root)
 
+        def drain(df, mode):
+            q = df.writeStream.outputMode(mode).format("noop").start()
+            q.processAllAvailable()
+            q.stop()
+
         def py_run():
             qn[0] += 1
-            run_gapfill_to_memory(spark, raw, f"floor_py_{qn[0]}").count()
+            src = (
+                spark.readStream.schema(
+                    "conv_id string, turn_idx int, role string, text string, "
+                    "tool string, ts timestamp"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(raw)
+            )
+            drain(streaming_gapfill(src), "append")
 
         def jvm_run():
             qn[0] += 1
-            run_stream_to_memory(spark, drv, f"floor_jvm_{qn[0]}").count()
+            src = (
+                spark.readStream.schema(
+                    "conv_id string, turn_idx int, ts timestamp, "
+                    "latency_ms long, token_count int"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(drv)
+            )
+            drain(streaming_rollup_1m(src), "update")
 
         py_run()  # warmup (first streaming query pays planner/sink setup)
         jvm_run()

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.truncate import plan_checkpoint
 from .dedup import word_shingles
 
 
@@ -95,7 +96,7 @@ def shared_shingle_pairs(
         # plan showed the corpus explode+distinct running 4× (sizes
         # alone re-derived twice for the n_a and n_b builds). Lazy
         # localCheckpoint tokenizes the corpus once.
-        shingled = shingled.localCheckpoint(eager=False)
+        shingled = plan_checkpoint(shingled, eager=False)
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh = shingled
     need_full_verify = df_cap is not None or prefix_filter
@@ -213,9 +214,9 @@ def connected_components(
         .select("e.s", "e.d")
         .distinct()
     )
-    sym = sym.localCheckpoint(eager=True)
+    sym = plan_checkpoint(sym, eager=True)
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = plan_checkpoint(labels, eager=True)
 
     # convergence test: for integral ids, labels are monotonically
     # non-increasing under min-propagation, so an unchanged exact
@@ -256,7 +257,7 @@ def connected_components(
             )
             .select("id", F.coalesce("_lbl2", "lbl").alias("lbl"))
         )
-        new_labels = jumped.localCheckpoint(eager=True)
+        new_labels = plan_checkpoint(jumped, eager=True)
         if integral:
             cur_sum = _label_sum(new_labels)
             done = cur_sum == prev_sum

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.truncate import plan_checkpoint
+
 MERSENNE = (1 << 61) - 1
 
 
@@ -205,10 +207,15 @@ def minhash_dedup(
     4×. At 100 TB that's 3 saved full-text scans in exchange for one
     materialized shingle table on executor storage; pass
     ``reuse_shingles=False`` where recompute is cheaper than the
-    storage (or lineage must stay pure for checkpoint-free recovery)."""
+    storage (or lineage must stay pure for checkpoint-free recovery).
+    The truncation routes through :func:`plan_checkpoint`: on a cluster
+    with a checkpoint dir configured it is a RELIABLE checkpoint
+    (survives executor loss); without one, executor-local blocks — fine
+    single-JVM, a fault-tolerance regression on a cluster (ADVICE r4),
+    which is why cluster deployments should set a checkpoint dir."""
     sh = word_shingles(docs, id_col, text, n)
     if reuse_shingles:
-        sh = sh.localCheckpoint(eager=False)
+        sh = plan_checkpoint(sh, eager=False)
     sig = minhash_signatures(sh, k)
     cand = lsh_candidates(sig, bands, k // bands, max_bucket_size)
     return jaccard_verify(cand, sh, threshold).select("doc_a", "doc_b", "jaccard")

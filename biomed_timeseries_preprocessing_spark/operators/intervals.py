@@ -62,46 +62,49 @@ def fill_label_gaps(
 
     ``spans``: (conv_id, span_start, span_end) — the ``end_labelling``
     analog. Intervals are assumed non-overlapping per conv (the
-    reference's are, post-merge)."""
+    reference's are, post-merge).
+
+    Single-scan emit (r5): one windowed pass over the joined frame emits
+    [gap-before?, interval, tail-gap?] as an exploded struct array —
+    the previous 4-branch union evaluated the windowed join once per
+    branch (the union double-eval pattern that also cost CC symmetrize
+    and simhash banding). Bit-identical (identity-checked) and measured
+    1.27–1.45× faster at 53k/533k intervals
+    (``BENCH/gapfill_intervals_profile.json``); the tail gap starts at
+    the whole-partition max(end_ts), exactly like the old groupBy
+    branch, so overlapping inputs keep identical semantics."""
     w = Window.partitionBy("conv_id").orderBy("start_ts")
+    wall = Window.partitionBy("conv_id")
     iv = (
         intervals.join(spans, "conv_id")
-        .withColumn("_rn", F.row_number().over(w))
         .withColumn("_prev_end", F.lag("end_ts").over(w))
+        .withColumn("_next_start", F.lead("start_ts").over(w))
+        .withColumn("_max_end", F.max("end_ts").over(wall))
     )
-    head_gap = iv.filter(
-        (F.col("_rn") == 1) & (F.col("start_ts") > F.col("span_start"))
-    ).select(
-        "conv_id",
-        F.col("span_start").alias("start_ts"),
-        F.col("start_ts").alias("end_ts"),
-        F.lit(default_label).alias("label"),
+    gap_start = F.coalesce(F.col("_prev_end"), F.col("span_start"))
+    gap_before = F.when(
+        gap_start < F.col("start_ts"),
+        F.struct(
+            gap_start.alias("start_ts"),
+            F.col("start_ts").alias("end_ts"),
+            F.lit(default_label).alias("label"),
+        ),
     )
-    mid_gap = iv.filter(
-        F.col("_prev_end").isNotNull() & (F.col("_prev_end") < F.col("start_ts"))
-    ).select(
-        "conv_id",
-        F.col("_prev_end").alias("start_ts"),
-        F.col("start_ts").alias("end_ts"),
-        F.lit(default_label).alias("label"),
-    )
-    tail_gap = (
-        iv.groupBy("conv_id")
-        .agg(F.max("end_ts").alias("_max_end"), F.max("span_end").alias("span_end"))
-        .filter(F.col("_max_end") < F.col("span_end"))
-        .select(
-            "conv_id",
+    original = F.struct(F.col("start_ts"), F.col("end_ts"), F.col("label"))
+    tail_gap = F.when(
+        F.col("_next_start").isNull() & (F.col("_max_end") < F.col("span_end")),
+        F.struct(
             F.col("_max_end").alias("start_ts"),
             F.col("span_end").alias("end_ts"),
             F.lit(default_label).alias("label"),
-        )
+        ),
     )
-    filled = (
-        intervals.select("conv_id", "start_ts", "end_ts", "label")
-        .unionByName(head_gap)
-        .unionByName(mid_gap)
-        .unionByName(tail_gap)
-    )
+    filled = iv.select(
+        "conv_id",
+        F.explode(
+            F.filter(F.array(gap_before, original, tail_gap), lambda x: x.isNotNull())
+        ).alias("_e"),
+    ).select("conv_id", "_e.start_ts", "_e.end_ts", "_e.label")
     # merge adjacent same-label runs (Extract_Transform_Labeler.py:66-68)
     w2 = Window.partitionBy("conv_id").orderBy("start_ts")
     runs = filled.withColumn(

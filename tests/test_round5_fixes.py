@@ -91,3 +91,38 @@ def test_full_oracle_gate_bit_exact_at_sf0001(spark):
         pytest.skip("driver testdata not present")
     failed = run_gate(spark, sf_dir, quiet=True)
     assert failed == []
+
+
+def test_plan_checkpoint_prefers_reliable_when_dir_configured(spark, tmp_path):
+    """ADVICE r4 (low): plan truncation must not silently ship
+    executor-local (non-replicated, unrecoverable-on-executor-loss)
+    blocks to a cluster run — with a checkpoint dir configured the
+    truncation is a RELIABLE checkpoint, without one it falls back to
+    localCheckpoint. minhash/shared-shingle reuse and the CC rounds all
+    route through plan_checkpoint."""
+    from biomed_timeseries_preprocessing_spark.plans.truncate import plan_checkpoint
+
+    def plan_of(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    local = plan_checkpoint(spark.range(10), eager=True)
+    # truncation happened: the Range source is gone from the plan...
+    assert "Range" not in plan_of(local)
+    # ...and nothing was written anywhere (executor-local blocks only)
+    ckpt_dir = tmp_path / "ckpt"
+    assert not ckpt_dir.exists()
+
+    sc.setCheckpointDir(str(ckpt_dir))
+    try:
+        reliable = plan_checkpoint(spark.range(10), eager=True)
+        assert "Range" not in plan_of(reliable)
+        # reliable = blocks ON DISK in the configured dir (replicated
+        # storage on a cluster — survives executor loss)
+        files = [p for p in ckpt_dir.rglob("*") if p.is_file()]
+        assert files, "reliable checkpoint wrote no files"
+        assert sorted(r.id for r in reliable.collect()) == list(range(10))
+    finally:
+        # reset so later tests see the session's default (no dir)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
