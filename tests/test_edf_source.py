@@ -1,0 +1,208 @@
+"""EDF signal-container source (S7 remainder): synthetic files built
+byte-for-byte per the public EDF spec, read back through the Spark
+source, checked exactly — header discovery, calibration, per-channel
+time grid, channel pruning, annotation-channel exclusion, format-error
+behavior. Parity target: pyedflib usage in
+/root/reference/utils/sleep_data_prep/edf_reader.py:119-132."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from biomed_timeseries_preprocessing_spark.sources.edf import (
+    ANNOTATION_LABEL,
+    EdfFormatError,
+    parse_edf_header,
+    read_edf_headers,
+    read_edf_signals,
+    sleep_edf_rate_fix,
+)
+
+N_RECORDS = 3
+REC_DUR = 1  # seconds per data record
+
+
+def _field(s: str, width: int) -> bytes:
+    b = s.encode("ascii")
+    assert len(b) <= width, (s, width)
+    return b.ljust(width)
+
+
+def build_edf(
+    signals: list[dict],
+    n_records: int = N_RECORDS,
+    record_duration: str = str(REC_DUR),
+) -> bytes:
+    """Byte-exact EDF writer for tests: fixed 256-byte header, ns
+    field-major signal-header arrays, int16-LE data records."""
+    ns = len(signals)
+    hdr = b"".join(
+        [
+            _field("0", 8),  # version
+            _field("test patient", 80),
+            _field("test recording", 80),
+            _field("02.01.85", 8),  # start date
+            _field("10.00.00", 8),  # start time
+            _field(str(256 + ns * 256), 8),  # header bytes
+            _field("", 44),  # reserved
+            _field(str(n_records), 8),
+            _field(record_duration, 8),
+            _field(str(ns), 4),
+        ]
+    )
+    assert len(hdr) == 256
+    for width, key, default in [
+        (16, "label", None),
+        (80, "transducer", ""),
+        (8, "phys_dim", "uV"),
+        (8, "phys_min", None),
+        (8, "phys_max", None),
+        (8, "dig_min", None),
+        (8, "dig_max", None),
+        (80, "prefilter", ""),
+        (8, "spr", None),
+        (32, "reserved", ""),
+    ]:
+        hdr += b"".join(
+            _field(str(s[key]) if default is None else str(s.get(key, default)), width)
+            for s in signals
+        )
+    assert len(hdr) == 256 + ns * 256
+    body = b""
+    for r in range(n_records):
+        for s in signals:
+            body += (
+                np.asarray(s["data"][r], dtype="<i2").tobytes()
+            )
+    return hdr + body
+
+
+def _signals():
+    # signal A: 4 samples/record, calibration maps [-2048, 2047] -> [-100, 100]
+    a = {
+        "label": "EEG Fpz-Cz",
+        "phys_min": -100,
+        "phys_max": 100,
+        "dig_min": -2048,
+        "dig_max": 2047,
+        "spr": 4,
+        "data": [[-2048, -1024, 0, 2047], [1, 2, 3, 4], [-5, -6, -7, -8]],
+    }
+    # signal B: 2 samples/record, identity-ish calibration
+    b = {
+        "label": "EMG chin",
+        "phys_min": 0,
+        "phys_max": 10,
+        "dig_min": 0,
+        "dig_max": 10,
+        "spr": 2,
+        "data": [[0, 1], [2, 3], [4, 10]],
+    }
+    # TAL pseudo-signal: text payload, must be excluded from numerics
+    ann = {
+        "label": ANNOTATION_LABEL,
+        "phys_min": -1,
+        "phys_max": 1,
+        "dig_min": -32768,
+        "dig_max": 32767,
+        "spr": 4,
+        "data": [
+            np.frombuffer(b"+0\x14\x14\x00\x00\x00\x00", dtype="<i2"),
+            np.frombuffer(b"+1\x14\x14\x00\x00\x00\x00", dtype="<i2"),
+            np.frombuffer(b"+2\x14\x14\x00\x00\x00\x00", dtype="<i2"),
+        ],
+    }
+    return [a, b, ann]
+
+
+@pytest.fixture()
+def edf_dir(tmp_path):
+    d = tmp_path / "edf"
+    d.mkdir()
+    (d / "rec1.edf").write_bytes(build_edf(_signals()))
+    (d / "rec2.edf").write_bytes(build_edf(_signals()))
+    return str(d)
+
+
+def test_header_parse_pure():
+    h = parse_edf_header(build_edf(_signals()))
+    assert h["ns"] == 3
+    assert h["n_records"] == N_RECORDS
+    assert h["labels"][0] == "EEG Fpz-Cz"
+    assert h["samples_per_record"] == [4, 2, 4]
+    assert h["phys_min"][0] == -100.0 and h["dig_max"][0] == 2047
+
+
+def test_header_parse_errors():
+    buf = build_edf(_signals())
+    with pytest.raises(EdfFormatError, match="truncated"):
+        parse_edf_header(buf[:100])
+    bad = buf[:184] + b"9999    " + buf[192:]  # header_bytes != 256+ns*256
+    with pytest.raises(EdfFormatError, match="ns mismatch"):
+        parse_edf_header(bad)
+
+
+def test_signals_exact_calibration_and_grid(spark, edf_dir):
+    df = read_edf_signals(spark, edf_dir).toPandas()
+    # annotation channel excluded; both files, both numeric channels
+    assert set(df["channel"]) == {"EEG Fpz-Cz", "EMG chin"}
+    one = df[df["path"].str.endswith("rec1.edf")]
+    a = one[one["channel"] == "EEG Fpz-Cz"].sort_values("sample_idx")
+    assert list(a["digital"]) == [-2048, -1024, 0, 2047, 1, 2, 3, 4, -5, -6, -7, -8]
+    # calibration: dig -2048 -> -100.0 exactly; dig 2047 -> +100.0 exactly
+    assert a["value"].iloc[0] == -100.0
+    assert a["value"].iloc[3] == 100.0
+    # 4 Hz grid: exact integer microseconds, record boundary at 1 s
+    assert list(a["time_us"][:6]) == [0, 250_000, 500_000, 750_000, 1_000_000, 1_250_000]
+    b = one[one["channel"] == "EMG chin"].sort_values("sample_idx")
+    # identity calibration: physical == digital
+    assert list(b["value"]) == [0.0, 1.0, 2.0, 3.0, 4.0, 10.0]
+    assert list(b["time_us"]) == [0, 500_000, 1_000_000, 1_500_000, 2_000_000, 2_500_000]
+
+
+def test_channel_pruning(spark, edf_dir):
+    df = read_edf_signals(spark, edf_dir, channels=["EMG chin"]).toPandas()
+    assert set(df["channel"]) == {"EMG chin"}
+    assert len(df) == 2 * N_RECORDS * 2  # 2 files x 3 records x spr 2
+
+
+def test_headers_and_sleep_edf_rate_fix(spark, edf_dir, tmp_path):
+    hd = read_edf_headers(spark, edf_dir)
+    pdf = hd.toPandas()
+    one = pdf[pdf["path"].str.endswith("rec1.edf")].set_index("channel")
+    assert one.loc["EEG Fpz-Cz", "sampling_rate"] == 4.0
+    assert one.loc["EMG chin", "sampling_rate"] == 2.0
+    assert one.loc[ANNOTATION_LABEL, "is_annotation"] == "True"
+    assert one.loc["EEG Fpz-Cz", "n_records"] == N_RECORDS
+
+    # the reference's Sleep-EDF 3000/6000 -> 100 Hz quirk, as a policy
+    sigs = _signals()
+    sigs[0]["spr"] = 3000
+    sigs[0]["data"] = [list(range(3000))] * N_RECORDS
+    d2 = tmp_path / "sleepedf"
+    d2.mkdir()
+    (d2 / "quirk.edf").write_bytes(build_edf(sigs))
+    fixed = sleep_edf_rate_fix(read_edf_headers(spark, str(d2))).toPandas()
+    q = fixed.set_index("channel")
+    assert q.loc["EEG Fpz-Cz", "sampling_rate"] == 3000.0
+    assert q.loc["EEG Fpz-Cz", "sampling_rate_fixed"] == 100.0
+    assert q.loc["EMG chin", "sampling_rate_fixed"] == 2.0
+
+
+def test_engine_operators_compose_on_edf_series(spark, edf_dir):
+    """The point of the long format: engine operators apply unchanged
+    with (path, channel) as the series key — a 1-second rollup over the
+    EDF samples matches a hand computation."""
+    from pyspark.sql import functions as F
+
+    df = read_edf_signals(spark, edf_dir, channels=["EMG chin"])
+    per_sec = (
+        df.groupBy("path", "channel", (F.col("time_us") / 1_000_000).cast("long").alias("sec"))
+        .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("n"))
+        .orderBy("path", "sec")
+        .toPandas()
+    )
+    one = per_sec[per_sec["path"].str.endswith("rec1.edf")]
+    assert list(one["s"]) == [1.0, 5.0, 14.0]  # per-record sums
+    assert list(one["n"]) == [2, 2, 2]
