@@ -52,17 +52,35 @@ def augment_gaussian(
 ) -> DataFrame:
     """Original rows (aug_id=0) ∪ `times` noisy copies (aug_id=1..t):
     copy value = value + N(mean, std) per cell, deterministic in the
-    key columns (Augmentator.augmentation_gaussian analog)."""
-    base = df.withColumn("aug_id", F.lit(0))
+    key columns (Augmentator.augmentation_gaussian analog).
+
+    Single-scan emit (r5): one explode of ``sequence(0, times)`` instead
+    of a ``times+1``-branch union — each union branch re-evaluated the
+    upstream ``df`` (the union double-eval pattern; fourth find after CC
+    symmetrize, simhash banding, and fill_label_gaps). Values are bit-identical: the noise
+    hash keys on the copy INDEX, and exploding an int sequence feeds
+    xxhash64 the same int the per-branch ``F.lit(copy)`` did (locked by
+    ``test_augment_gaussian_single_scan_identity``)."""
     keys = [F.col(c) for c in key_cols]
-    copies = [
-        df.withColumn(
+
+    def noise(copy_col):
+        total = None
+        for j in range(12):
+            u = _unit_uniform(*keys, copy_col, F.lit(seed), F.lit(j))
+            total = u if total is None else total + u
+        return total - 6.0
+
+    aug_id = F.col("aug_id")
+    return (
+        df.select("*", F.explode(F.sequence(F.lit(0), F.lit(times))).alias("aug_id"))
+        .withColumn(
             value_col,
-            F.col(value_col) + (_gaussian_ih12(keys, t, seed) * std + F.lit(mean)),
-        ).withColumn("aug_id", F.lit(t))
-        for t in range(1, times + 1)
-    ]
-    return reduce(DataFrame.unionByName, copies, base)
+            F.when(aug_id == 0, F.col(value_col)).otherwise(
+                F.col(value_col) + (noise(aug_id) * std + F.lit(mean))
+            ),
+        )
+        .select(*df.columns, "aug_id")
+    )
 
 
 def augment_smoothed(

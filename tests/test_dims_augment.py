@@ -79,3 +79,45 @@ def test_augment_smoothed_copies(spark):
         for r in out.groupBy("aug_id").agg(F.stddev_samp("v").alias("sd")).collect()
     }
     assert stats[1] < stats[0] and stats[2] < stats[1]
+
+
+def test_augment_gaussian_single_scan_identity(spark):
+    """r5 rewrite guard: the one-scan explode emits BIT-IDENTICAL rows
+    to the retired per-copy union (noise hashes the copy index, and an
+    exploded int sequence feeds xxhash64 the same int the old
+    F.lit(copy) did) — and the plan scans the input once (no Union)."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from biomed_timeseries_preprocessing_spark.operators.augment import (
+        _gaussian_ih12,
+        augment_gaussian,
+    )
+
+    df = spark.range(200).select(
+        (F.col("id") % 10).cast("string").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+
+    def union_reference(d, times, std, mean, seed):
+        base = d.withColumn("aug_id", F.lit(0))
+        keys = [F.col("conv_id"), F.col("turn_idx")]
+        copies = [
+            d.withColumn(
+                "v", F.col("v") + (_gaussian_ih12(keys, t, seed) * std + F.lit(mean))
+            ).withColumn("aug_id", F.lit(t))
+            for t in range(1, times + 1)
+        ]
+        return reduce(DataFrame.unionByName, copies, base)
+
+    new = augment_gaussian(df, "v", ["conv_id", "turn_idx"], times=3, std=0.5, seed=7)
+    old = union_reference(df, times=3, std=0.5, mean=0.0, seed=7)
+    a = sorted(map(tuple, new.collect()))
+    b = sorted(map(tuple, old.collect()))
+    assert a == b  # float equality IS bit equality here: same expressions
+
+    plan = new._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan  # single scan, not times+1 branches
