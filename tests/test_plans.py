@@ -212,3 +212,38 @@ def test_connected_components_single_scan_symmetrize(spark):
     assert "unionByName" not in src.split("localCheckpoint")[0], (
         "symmetrize reverted to the double-eval union"
     )
+
+
+def test_fill_label_gaps_single_scan_plan(spark):
+    """r5 plan-shape lock: fill_label_gaps emits gaps + originals from
+    ONE windowed scan (explode of a struct array) — no Union fan-out
+    re-evaluating the joined frame per branch (the retired 4-branch
+    shape), and exactly one sort-based window partition chain."""
+    from biomed_timeseries_preprocessing_spark.operators.intervals import (
+        fill_label_gaps,
+    )
+
+    iv = spark.createDataFrame(
+        [("c1", 0, 10, "A"), ("c1", 20, 30, "A")],
+        "conv_id string, s long, e long, label string",
+    ).select(
+        "conv_id",
+        F.timestamp_micros(F.col("s") * 1_000_000).alias("start_ts"),
+        F.timestamp_micros(F.col("e") * 1_000_000).alias("end_ts"),
+        "label",
+    )
+    spans = spark.createDataFrame([("c1",)], "conv_id string").select(
+        "conv_id",
+        F.timestamp_micros(F.lit(0)).alias("span_start"),
+        F.timestamp_micros(F.lit(40_000_000)).alias("span_end"),
+    )
+    import re
+
+    out = fill_label_gaps(iv, spans)
+    plan = plan_str(out)
+    assert "Union" not in plan  # single scan, not 4 branches
+    assert re.search(r"\(\d+\) Generate", plan)  # the explode emit
+    # intervals [0,10]A + [20,30]A over span [0,40]: mid gap [10,20] and
+    # tail gap [30,40], no head gap (first interval starts at span start)
+    labels = sorted((r["label"], r["start_ts"].isoformat()) for r in out.collect())
+    assert [l for l, _ in labels] == ["A", "A", "Background", "Background"]
