@@ -49,7 +49,13 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> 
 
 # ------------------------------------------------------------ shingles
 
-def word_shingles(docs: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 3) -> DataFrame:
+def word_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
     """Distinct word n-grams per document (the Broder shingling step),
     built with JVM array functions: split → sliding windows via
     transform over index sequence → explode.
@@ -60,7 +66,16 @@ def word_shingles(docs: DataFrame, id_col: str = "doc_id", text: str = "text", n
     the split + regex per ARRAY ELEMENT (no common-subexpression
     elimination across the lambda boundary) — measured 9× slower on the
     sf0.1 documents table. CollapseProject keeps the two selects as one
-    stage but leaves the non-cheap alias un-inlined."""
+    stage but leaves the non-cheap alias un-inlined.
+
+    Tokens come from ``split(trim(lower(text)), '\\s+')`` directly —
+    splitting on whitespace RUNS yields exactly the token array the old
+    normalize-then-split-on-single-space produced, minus one full regex
+    rewrite of the corpus (guide §1.2: per-task work).
+
+    ``distinct=False`` skips the set-dedup shuffle for consumers that
+    are multiset-invariant — MinHash signatures (min over a multiset ==
+    min over its set) — so the whole shingle pass stays map-side."""
     toks = F.col("__toks")
     grams = F.when(
         F.size(toks) >= n,
@@ -69,14 +84,11 @@ def word_shingles(docs: DataFrame, id_col: str = "doc_id", text: str = "text", n
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         ),
     ).otherwise(F.array(F.array_join(toks, " ")))
-    return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.split(normalized_text(F.col(text)), " ").alias("__toks"),
-        )
-        .select("doc_id", F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.lower(F.col(text))), r"\s+").alias("__toks"),
+    ).select("doc_id", F.explode(grams).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 # ------------------------------------------------------------- minhash
@@ -124,34 +136,34 @@ def lsh_candidates(
     """LSH banding: hash each band of the signature to a bucket; docs
     sharing any (band, bucket) become a candidate pair (doc_a < doc_b).
 
-    ``max_bucket_size`` drops buckets larger than the cap BEFORE the
-    self-join — one degenerate bucket (boilerplate shingles, exact-dup
+    ``max_bucket_size`` drops buckets larger than the cap BEFORE pair
+    generation — one degenerate bucket (boilerplate shingles, exact-dup
     clusters that skipped exact_dedup) otherwise explodes candidates
     quadratically. Pairs only reachable through dropped buckets are
     lost; use ``lsh_bucket_stats`` to report what a cap drops, and run
     ``exact_dedup`` first so identical docs never reach this operator.
-    """
+
+    Physical shape (r6): pairs come from ONE ``collect_list`` per
+    (band, bucket) followed by an in-bucket double explode, instead of
+    the banded SELF-JOIN the r5 plan used. The join form evaluated the
+    signature aggregation once per join side and once more for the
+    bucket-size cap (the upstream minhash agg appeared 4× in the
+    physical plan); the grouped form evaluates it ONCE, shuffles the
+    (doc_id, band, bucket) rows a single time, and the cap becomes a
+    ``size(_ids)`` filter — no second aggregation, no join. Per-task
+    memory is bounded by ``max_bucket_size`` ids per group (set it at
+    scale; lsh_bucket_stats audits what the cap drops)."""
     exploded = _banded(signatures, bands, rows_per_band)
+    buckets = exploded.groupBy("band", "bucket").agg(
+        F.collect_list("doc_id").alias("_ids")
+    )
     if max_bucket_size is not None:
-        sizes = exploded.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("_n")
-        )
-        exploded = (
-            exploded.join(
-                sizes.filter(F.col("_n") <= max_bucket_size), ["band", "bucket"]
-            )
-            .drop("_n")
-        )
-    a = exploded.alias("a")
-    b_ = exploded.alias("b")
+        buckets = buckets.filter(F.size("_ids") <= max_bucket_size)
     pairs = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.filter(F.size("_ids") >= 2)
+        .select(F.explode("_ids").alias("doc_a"), "_ids")
+        .select("doc_a", F.explode("_ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
     return pairs
@@ -159,24 +171,49 @@ def lsh_candidates(
 
 def jaccard_verify(pairs: DataFrame, shingled: DataFrame, threshold: float = 0.7) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only:
-    |A∩B| via join on shingle, |A∪B| = |A|+|B|−|A∩B|. Exact integer
-    counts; similarity as one double division at the end."""
-    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    |A∩B| via join on (doc, shingle), |A∪B| = |A|+|B|−|A∩B|. Exact
+    integer counts; similarity as one double division at the end.
+
+    Physical shape (r6): every join moves only CANDIDATE-bounded data.
+    The full shingle table is first semi-filtered to docs that appear in
+    some pair (broadcast of the distinct candidate ids), so sizes,
+    intersection streams, and the broadcast build sides are all
+    O(candidates × shingles-per-doc) — the r5 plan broadcast the ENTIRE
+    shingle relation twice (guide §3.1: broadcast the side you know is
+    small; the candidate side is the bounded one here, by construction
+    of the capped LSH buckets). Callers verifying a non-trivial pair set
+    should pass a plan-truncated ``pairs`` (minhash_dedup does) — the
+    pair subtree feeds four broadcast builds."""
+    docs_needed = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    cand_sh = shingled.join(F.broadcast(docs_needed), "doc_id")
+    sizes = cand_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
-        pairs.join(shingled.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        F.broadcast(pairs)
+        .join(cand_sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(
-            shingled.select(
-                F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b")
+            F.broadcast(
+                cand_sh.select(F.col("doc_id").alias("doc_b"), "shingle")
             ),
-            "doc_b",
+            ["doc_b", "shingle"],
         )
-        .filter(F.col("shingle") == F.col("shingle_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     out = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        inter.join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
+            ),
+            "doc_b",
+        )
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
@@ -200,25 +237,53 @@ def minhash_dedup(
     """Full near-dup pipeline: shingle → minhash → LSH bands → exact
     Jaccard verification. Returns (doc_a, doc_b, jaccard) pairs.
 
-    The shingle set feeds four consumers (signatures, |A∩B| twice,
-    |A|/|B| sizes) and Spark reuses none of them across those branches
-    (0 ReusedExchange nodes measured) — so by default it is lazily
-    ``localCheckpoint``-ed and the corpus is tokenized ONCE instead of
-    4×. At 100 TB that's 3 saved full-text scans in exchange for one
-    materialized shingle table on executor storage; pass
-    ``reuse_shingles=False`` where recompute is cheaper than the
-    storage (or lineage must stay pure for checkpoint-free recovery).
-    The truncation routes through :func:`plan_checkpoint`: on a cluster
-    with a checkpoint dir configured it is a RELIABLE checkpoint
-    (survives executor loss); without one, executor-local blocks — fine
-    single-JVM, a fault-tolerance regression on a cluster (ADVICE r4),
-    which is why cluster deployments should set a checkpoint dir."""
-    sh = word_shingles(docs, id_col, text, n)
-    if reuse_shingles:
-        sh = plan_checkpoint(sh, eager=False)
-    sig = minhash_signatures(sh, k)
+    Physical shape (r6 rewrite — the 10M-row shingle table is never
+    materialized, shuffled, or checkpointed):
+
+    - signatures run over NON-distinct shingles (min over a multiset ==
+      min over its set, so the 32-way min aggregation is bit-identical)
+      with map-side partial aggregation — the only thing crossing the
+      signature exchange is ~one 33-long row per (doc, map partition),
+      not the shingle strings. The r5 plan localCheckpoint-ed the full
+      distinct shingle table (its materialization alone was 11.7 of the
+      14 s pipeline at 50k docs) and still re-evaluated the signature
+      aggregation once per self-join side.
+    - the candidate pair set (tiny by construction: capped LSH buckets)
+      is plan-truncated, then ONLY candidate docs are re-shingled
+      (distinct, as Jaccard needs sets) for verification — a broadcast
+      semi-join of the distinct candidate ids against the corpus. At
+      100 TB this re-reads the text of candidate docs once instead of
+      storing every doc's shingles on executors.
+
+    ``reuse_shingles=False`` keeps candidate lineage pure (no
+    checkpoint) for checkpoint-free recovery; the truncation routes
+    through :func:`plan_checkpoint` (reliable checkpoint when the
+    session has a checkpoint dir, executor-local otherwise — ADVICE
+    r4)."""
+    sig = minhash_signatures(word_shingles(docs, id_col, text, n, distinct=False), k)
     cand = lsh_candidates(sig, bands, k // bands, max_bucket_size)
-    return jaccard_verify(cand, sh, threshold).select("doc_a", "doc_b", "jaccard")
+    if reuse_shingles:
+        # the candidate set feeds the verification joins and the
+        # candidate-doc semi-filter below; truncating here keeps the
+        # shingle→signature→LSH subtree from re-running once per
+        # consumer. O(pairs) materialization.
+        cand = plan_checkpoint(cand, eager=False)
+    docs_needed = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("_cand_id")
+    ).distinct()
+    cand_docs = docs.join(
+        F.broadcast(docs_needed),
+        F.col(id_col) == F.col("_cand_id"),
+        "left_semi",
+    )
+    sh_cand = word_shingles(cand_docs, id_col, text, n)
+    if reuse_shingles:
+        # candidate shingles feed three verification consumers (sizes,
+        # a-side stream, b-side broadcast build); truncate so the
+        # tokenize+distinct of candidate docs runs once. Bounded by
+        # candidates × shingles-per-doc — NOT the corpus.
+        sh_cand = plan_checkpoint(sh_cand, eager=False)
+    return jaccard_verify(cand, sh_cand, threshold).select("doc_a", "doc_b", "jaccard")
 
 
 # ------------------------------------------------------------- simhash
@@ -234,7 +299,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text: str = "text", bits: i
     sum is positive. Pure explode + 64 conditional sums (JVM)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(normalized_text(F.col(text)), " ")).alias("tok"),
+        F.explode(F.split(F.trim(F.lower(F.col(text))), r"\s+")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
     aggs = [
         F.sum(
@@ -265,7 +330,7 @@ def simhash_packed(
     (split such documents upstream, or use ``simhash``)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(normalized_text(F.col(text)), " ")).alias("tok"),
+        F.explode(F.split(F.trim(F.lower(F.col(text))), r"\s+")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
     # group g packs bits (g, g+16, g+32, g+48) into 4 disjoint 16-bit lanes
     packs = [

@@ -40,79 +40,72 @@ def gapfill(turns: DataFrame, default_text: str = "") -> DataFrame:
     """Return turns with missing turn_idx rows materialized and filled,
     plus an ``is_gap_filled`` boolean column.
 
-    Physical shape: original rows NEVER enter the grid join or the
-    window passes — they stream from the source straight into a union.
-    Only a narrow projection (keys + ts/role/tool, no ``text``) flows
-    through the shuffle to compute the gap rows, whose text is a
-    constant anyway. Carrying full rows through the join + two window
-    sorts made materializing the filled frame ~10× slower than counting
-    it (the ``text`` payload dominated the shuffle); at 100 TB the gap
-    rows are a sliver of the data and this plan moves only that sliver
-    plus narrow carriers."""
-    narrow = turns.select("conv_id", "turn_idx", "ts", "role", "tool")
-    grid = (
-        narrow.groupBy("conv_id")
-        .agg(F.min("turn_idx").alias("lo"), F.max("turn_idx").alias("hi"))
-        .select(
-            "conv_id",
-            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("turn_idx"),
+    Physical shape (r6 one-scan rewrite, guide §2.4): ONE scan, ONE
+    exchange, ONE window pass, ONE generate. Every present row emits
+    itself plus the missing positions up to the next present turn
+    (``sequence(turn_idx, next_idx - 1)``), so the grid aggregation, the
+    grid⟷turns join, and the originals-union re-scan of the old plan
+    (3 source scans, 5 exchanges in the events-adapter query) all
+    disappear. Gap values come straight from the generating row: its own
+    ``ts``/``turn_idx`` are the interpolation "prev" (present rows always
+    carry ts), ``lead(ts)``/``lead(turn_idx)`` the "next", and running
+    ``last(role/tool, ignorenulls)`` over present rows matches the old
+    forward-fill exactly (gap rows contributed only NULLs to it). The
+    head/tail behavior is unchanged — the grid was bounded by min/max
+    present turn_idx, and so is per-row generation. A further win for
+    callers: the output keeps the conv_id hash partitioning of the
+    window, so the derive lag that follows in the rollup job re-uses
+    this exchange instead of re-shuffling the text payload."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_back = w.rowsBetween(Window.unboundedPreceding, 0)
+    stepped = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts",
+        F.lead("turn_idx").over(w).alias("_next_idx"),
+        F.unix_micros(F.lead("ts").over(w)).alias("_next_us"),
+        F.last("role", ignorenulls=True).over(w_back).alias("_role_f"),
+        F.last("tool", ignorenulls=True).over(w_back).alias("_tool_f"),
+    )
+    idxs = F.when(
+        F.col("_next_idx") > F.col("turn_idx") + F.lit(1),
+        F.sequence(F.col("turn_idx"), F.col("_next_idx") - F.lit(1)),
+    ).otherwise(F.array(F.col("turn_idx")))
+    ex = stepped.select(
+        "conv_id",
+        F.col("turn_idx").alias("_prev_idx"),
+        "role",
+        "text",
+        "tool",
+        "ts",
+        "_next_idx",
+        "_next_us",
+        "_role_f",
+        "_tool_f",
+        F.explode(idxs).alias("turn_idx"),
+    )
+    is_gap = F.col("turn_idx") != F.col("_prev_idx")
+    # exact integer interpolation with explicit FLOOR semantics
+    # (pmod-based floordiv — matches DuckDB/pandas ``//`` even when
+    # timestamps decrease within a conversation); the step denominator
+    # (next_idx - prev_idx) is always positive for generated gap rows.
+    interp = F.timestamp_micros(
+        F.unix_micros(F.col("ts"))
+        + F.expr(
+            "((_next_us - unix_micros(ts)) * (turn_idx - _prev_idx)"
+            " - pmod((_next_us - unix_micros(ts)) * (turn_idx - _prev_idx), _next_idx - _prev_idx))"
+            " DIV (_next_idx - _prev_idx)"
         )
     )
-    j = grid.join(narrow, ["conv_id", "turn_idx"], "left").withColumn(
-        "is_gap_filled", F.col("ts").isNull()
+    return ex.select(
+        "conv_id",
+        "turn_idx",
+        F.when(is_gap, F.col("_role_f")).otherwise(F.col("role")).alias("role"),
+        F.when(is_gap, F.lit(default_text)).otherwise(F.col("text")).alias("text"),
+        F.when(is_gap, F.col("_tool_f")).otherwise(F.col("tool")).alias("tool"),
+        F.when(is_gap, interp).otherwise(F.col("ts")).alias("ts"),
+        is_gap.alias("is_gap_filled"),
     )
-
-    # Both fill directions use an incremental unboundedPreceding→current
-    # frame: the "next present value" is last(..., ignorenulls) over the
-    # DESCENDING turn order. A current→unboundedFollowing frame computes
-    # the same thing but Spark re-evaluates that frame shape from scratch
-    # per row — O(n²) per conversation; measured ~10× the whole
-    # operator's cost at 800-turn conversations. The reversed sort stays
-    # inside the same hash partitioning (no extra shuffle), and grouping
-    # the same-spec expressions adjacently collapses them into exactly
-    # two Window nodes.
-    w_back = (
-        Window.partitionBy("conv_id")
-        .orderBy("turn_idx")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_fwd_rev = (
-        Window.partitionBy("conv_id")
-        .orderBy(F.desc("turn_idx"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-
-    ts_us = F.unix_micros(F.col("ts"))
-    present_idx = F.when(F.col("ts").isNotNull(), F.col("turn_idx"))
-    prev_us = F.last(ts_us, ignorenulls=True).over(w_back)
-    prev_idx = F.last(present_idx, ignorenulls=True).over(w_back)
-    next_us = F.last(ts_us, ignorenulls=True).over(w_fwd_rev)
-    next_idx = F.last(present_idx, ignorenulls=True).over(w_fwd_rev)
-
-    # exact integer interpolation: prev + (next-prev)*(i-prev_i) DIV (next_i-prev_i)
-    filled = (
-        j.withColumn("_prev_us", prev_us)
-        .withColumn("_prev_idx", prev_idx)
-        .withColumn("role", F.last("role", ignorenulls=True).over(w_back))
-        .withColumn("tool", F.last("tool", ignorenulls=True).over(w_back))
-        .withColumn("_next_us", next_us)
-        .withColumn("_next_idx", next_idx)
-        .withColumn(
-            "ts",
-            # floor division via pmod (Spark DIV truncates toward zero;
-            # DuckDB/pandas // floor) so non-monotone ts per conversation
-            # still interpolates identically to the oracles. The step
-            # denominator (next_idx - prev_idx) is always positive.
-            F.when(F.col("is_gap_filled"), F.timestamp_micros(F.col("_prev_us") + F.expr(
-                "((_next_us - _prev_us) * (turn_idx - _prev_idx)"
-                " - pmod((_next_us - _prev_us) * (turn_idx - _prev_idx), _next_idx - _prev_idx))"
-                " DIV (_next_idx - _prev_idx)"
-            ))).otherwise(F.col("ts")),
-        )
-        .withColumn("text", F.lit(default_text))
-    )
-    # the window pass carried present rows only as fill sources; emit the
-    # gap rows it computed and union the untouched originals back in
-    gaps = filled.filter(F.col("is_gap_filled")).select(*OUT_COLS)
-    originals = turns.withColumn("is_gap_filled", F.lit(False)).select(*OUT_COLS)
-    return originals.unionByName(gaps)

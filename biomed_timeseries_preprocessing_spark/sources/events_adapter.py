@@ -29,14 +29,31 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_as_transcripts(events: DataFrame, with_gaps: bool = True) -> DataFrame:
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    rn0 = F.row_number().over(w) - 1
-    turn_idx = (rn0 + F.floor(rn0 / 3)) if with_gaps else rn0
-    return events.select(
+    # The row_number window partitions by the conv_id EXPRESSION rather
+    # than user_id (bijective for int-range ids — %08d pads, never
+    # truncates): Spark's alias-aware partitioning propagation then lets
+    # every downstream per-conversation operator (derive's lag window,
+    # the rollup groupBy, gap-fill, sessionize) reuse this one Exchange
+    # instead of re-shuffling on conv_id — measured one full Exchange
+    # (plus its Sort) removed from each of the six events-adapter bench
+    # queries (guide §2.4: two operations keyed the same way share one
+    # exchange). Groups and order are identical to partitioning by
+    # user_id, so turn_idx is unchanged.
+    base = events.select(
         F.format_string("conv_%08d", F.col("user_id").cast("int")).alias("conv_id"),
-        turn_idx.cast("int").alias("turn_idx"),
         F.col("event_type").alias("role"),
         F.col("props").alias("text"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    rn0 = F.row_number().over(w) - 1
+    turn_idx = (rn0 + F.floor(rn0 / 3)) if with_gaps else rn0
+    return base.select(
+        "conv_id",
+        turn_idx.cast("int").alias("turn_idx"),
+        "role",
+        "text",
         F.lit(None).cast("string").alias("tool"),
         "ts",
     )

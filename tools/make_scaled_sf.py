@@ -62,13 +62,23 @@ def main() -> None:
                 idx = r.schema.get_field_index(col)
                 r = r.set_column(idx, col, _offset(r.column(col), i * step))
             if name == "documents" and i > 0:
+                # interleave a replica marker every 3 tokens: cross-replica
+                # jaccard drops to ~0.2 (below the LSH catch range), so the
+                # near-dup pair DENSITY matches natural scaling instead of
+                # every doc having factor-1 near-duplicates
                 idx = r.schema.get_field_index("text")
-                suffixed = pc.binary_join_element_wise(
-                    r.column("text").cast(pa.string()),
-                    pa.scalar(f"replica{i}"),
-                    " ",
-                )
-                r = r.set_column(idx, "text", suffixed)
+                mark = f"r{i}x"
+                texts = r.column("text").to_pylist()
+                out_t = []
+                for txt in texts:
+                    w = (txt or "").split(" ")
+                    out_t.append(
+                        " ".join(
+                            tok if j % 3 else f"{mark} {tok}"
+                            for j, tok in enumerate(w)
+                        )
+                    )
+                r = r.set_column(idx, "text", pa.array(out_t, pa.string()))
             parts.append(r)
         big = pa.concat_tables(parts)
         pq.write_table(big, f"{args.out}/{name}.parquet")
