@@ -48,12 +48,34 @@ def brute_force_topk(
     metric: str = "cosine",
 ) -> DataFrame:
     """Exact top-k: queries (q_id, q_vec) broadcast against all rows.
-    Ties break on neighbor id (deterministic)."""
-    q = F.broadcast(queries.select(F.col("q_id"), F.col("q_vec")))
-    joined = embeddings.select(F.col(id_col).alias("nbr_id"), F.col(vec_col)).crossJoin(q)
-    score = _dot(F.col(vec_col), F.col("q_vec"))
+    Ties break on neighbor id (deterministic).
+
+    Per-task work (guide §1.2/§4): the element-wise double casts and the
+    self-norms are hoisted OUT of the cross join — each corpus vector is
+    cast and normed once (N evaluations) and each query once (Q), where
+    the r5 plan re-evaluated both inside the N×Q scored projection.
+    Higher-order array expressions are interpreted (no codegen), so
+    this is a ~3× cut of the interpreted work. The score arithmetic is
+    unchanged op-for-op (in-order aggregate, then one division), so
+    results are bit-identical."""
+    qd = F.transform(F.col("q_vec"), lambda x: x.cast("double"))
+    qsel = [F.col("q_id"), qd.alias("q_vec")]
     if metric == "cosine":
-        score = score / (_norm(F.col(vec_col)) * _norm(F.col("q_vec")))
+        qsel.append(_norm(F.col("q_vec")).alias("_q_norm"))
+    q = F.broadcast(queries.select(*qsel))
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    esel = [F.col(id_col).alias("nbr_id"), vd.alias(vec_col)]
+    if metric == "cosine":
+        esel.append(_norm(F.col(vec_col)).alias("_n_norm"))
+    joined = embeddings.select(*esel).crossJoin(q)
+    # elements are already double — zip_with multiply + in-order sum only
+    score = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("q_vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    if metric == "cosine":
+        score = score / (F.col("_n_norm") * F.col("_q_norm"))
     scored = joined.withColumn("score", score).filter(F.col("nbr_id") != F.col("q_id"))
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("nbr_id"))
     return (

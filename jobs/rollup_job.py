@@ -283,52 +283,81 @@ def run(args, spark=None) -> dict:
         i: int, b: int, t0: float, persisted: list, lineage_rows: list
     ) -> None:
         part = staged.filter(F.col("bucket") == b).drop("bucket")
+        rows_in = None
         if args.gapfill:
-            filled = gapfill(part).persist()
-            persisted.append(filled)
-            # ONE action for the whole gapfill audit: total + filled
-            # counts AND the text-equality violation count (a 1-row
-            # cross join of two aggregates — Spark runs both subtrees in
-            # the same job; these were two serial driver round-trips)
-            c = (
-                filled.select(
-                    F.count(F.lit(1)).alias("n"),
-                    F.count_if(F.col("is_gap_filled")).alias("nf"),
-                )
-                .crossJoin(
-                    text_equality_violations(
-                        part, filled.filter(~F.col("is_gap_filled"))
-                    ).select(F.count(F.lit(1)).alias("nv"))
-                )
-                .collect()[0]
+            # The whole gapfill audit — total + filled counts AND the
+            # text-equality invariant — rides the bucket's FIRST real
+            # write job via two observe() nodes (guide §1: don't run
+            # actions you can piggyback). The invariant is an
+            # order-independent multiset checksum comparison (count +
+            # wrap-around sum of xxhash64(conv, turn, text)) between
+            # the source rows (observed right above the staging scan)
+            # and the non-gap output rows (observed right above the
+            # derive), instead of r5's (conv_id, turn_idx)-keyed JOIN
+            # that shuffled the text payload of both sides per bucket
+            # and needed its own action + a persist of the filled frame
+            # (guide §2.3: shuffle hashes, not payloads — both checksum
+            # subtrees are computed as the rows stream by). Equal
+            # multisets ⇒ equal (count, sum); STRICTER than the old
+            # inner-join check (also catches dropped/duplicated turns).
+            # The precise row-listing join runs only on the failure
+            # path, which is also the only path that recomputes the
+            # un-persisted filled frame. _gapfill_audit() validates
+            # after the first action and always BEFORE any commit.
+            _ck = F.xxhash64("conv_id", "turn_idx", "text").cast("decimal(38,0)")
+            pobs, gobs = Observation(), Observation()
+            src = part.observe(
+                pobs,
+                F.count(F.lit(1)).alias("n_in"),
+                F.sum(_ck).alias("c_in"),
             )
-            if c["nv"]:
+            filled = gapfill(src)
+            work_turns = filled.observe(
+                gobs,
+                F.count(F.lit(1)).alias("n"),
+                F.count_if(F.col("is_gap_filled")).alias("nf"),
+                F.sum(F.when(~F.col("is_gap_filled"), _ck)).alias("c_out"),
+            ).drop("is_gap_filled")
+        else:
+            gobs = pobs = None
+            work_turns = part
+        _audited = []
+
+        def _gapfill_audit() -> None:
+            nonlocal rows_in
+            if gobs is None or _audited:
+                return
+            gm, pm = gobs.get, pobs.get
+            n, nf = int(gm["n"]), int(gm["nf"])
+            if (n - nf != int(pm["n_in"] or 0)) or (
+                int(gm["c_out"] or 0) != int(pm["c_in"] or 0)
+            ):
+                nv = text_equality_violations(
+                    part, gapfill(part).filter(~F.col("is_gap_filled"))
+                ).count()
                 raise RuntimeError(
-                    f"text-equality invariant violated for {int(c['nv'])} turns "
-                    f"in bucket {b} — refusing to commit (input_hint contract)"
+                    f"text-equality invariant violated in bucket {b} "
+                    f"({nv} differing turns; in={int(pm['n_in'] or 0)} rows "
+                    f"out={n - nf} rows) — refusing to commit "
+                    f"(input_hint contract)"
                 )
-            n_filled = int(c["nf"])
+            _audited.append(True)
+            # with_derived is row-preserving, so the observed filled
+            # count already IS the derived row count — no extra action
+            rows_in = n
             lineage_rows.append(
                 (
                     args.run_id,
                     "gapfill",
                     bkey(b),
-                    int(c["n"]) - n_filled,
-                    n_filled,
+                    n - nf,
+                    nf,
                     None,
                     None,
                     0,
                     int((time.time() - t0) * 1000),
                 )
             )
-            work_turns = filled.drop("is_gap_filled")
-            # with_derived is row-preserving (a projection + window
-            # column), so the fused count above already IS the derived
-            # row count — no extra action
-            rows_in = int(c["n"])
-        else:
-            work_turns = part
-            rows_in = None
         # derived is persisted ONLY when a second consumer (codec) exists;
         # otherwise the 1m rollup is its sole consumer and caching it just
         # adds reduce-side serialization to the heaviest stage (measured on
@@ -351,6 +380,7 @@ def run(args, spark=None) -> dict:
             chunk_files = catalog.write_data_files(
                 "codec_chunks", enc, {"bucket": b}
             )
+            _gapfill_audit()  # first action done — validate before commit
             with commit_lock:
                 catalog.commit_overwrite_partitions(
                     "codec_chunks", chunk_files, {"bucket": b}
@@ -394,10 +424,11 @@ def run(args, spark=None) -> dict:
                 df, ["conv_id", "bucket_start", "cnt", "sum_tokens"], "bucket_start"
             )
             rows_obs = None
-            if ti == 0 and rows_in is None:
+            if ti == 0 and rows_in is None and gobs is None:
                 # sum(cnt) over the first tier == derived row count:
                 # the rows_in audit rides the same write job instead of
-                # a separate derived.count() action
+                # a separate derived.count() action (gapfill runs get
+                # rows_in from the observed filled count instead)
                 rows_obs = Observation()
                 audited = audited.observe(
                     rows_obs, F.sum("cnt").alias("rows_in")
@@ -410,6 +441,7 @@ def run(args, spark=None) -> dict:
             tier_files = catalog.write_data_files(
                 f"rollup_{tier}", audited, {"bucket": b}
             )
+            _gapfill_audit()  # no-op after the first call / without --gapfill
             rows_out, lo, hi, checksum = read_audit(obs)
             if rows_obs is not None:
                 rows_in = int(rows_obs.get["rows_in"] or 0)
@@ -464,31 +496,41 @@ def run(args, spark=None) -> dict:
             if args.gapfill:
                 filled = gapfill(part).persist()
                 persisted.append(filled)
-                # ONE action: per-bucket totals + filled counts + text-
-                # equality violation counts (the per-bucket scheduler's
-                # fused audit, grouped by bucket instead of pre-filtered)
+                # ONE action: per-bucket totals + filled counts + the
+                # multiset-checksum text-equality invariant (see the
+                # per-bucket scheduler — same aggregates, grouped by
+                # bucket; both subtrees are map-side partial aggregates,
+                # no text ever crosses a shuffle for the audit)
+                _ck = F.xxhash64("conv_id", "turn_idx", "text").cast("decimal(38,0)")
                 counts = (
                     filled.groupBy(bcol.alias("bucket")).agg(
                         F.count(F.lit(1)).alias("n"),
                         F.count_if(F.col("is_gap_filled")).alias("nf"),
+                        F.sum(F.when(~F.col("is_gap_filled"), _ck)).alias("c_out"),
                     )
                 )
-                viol = (
-                    text_equality_violations(
-                        part, filled.filter(~F.col("is_gap_filled"))
-                    )
-                    .groupBy(bcol.alias("bucket"))
-                    .agg(F.count(F.lit(1)).alias("nv"))
+                ins = part.groupBy(bcol.alias("bucket")).agg(
+                    F.count(F.lit(1)).alias("n_in"),
+                    F.sum(_ck).alias("c_in"),
                 )
                 audit = {
                     int(r["bucket"]): r
-                    for r in counts.join(viol, "bucket", "left").collect()
+                    for r in counts.join(ins, "bucket", "left").collect()
                 }
-                n_viol = sum(int(r["nv"] or 0) for r in audit.values())
-                if n_viol:
+                bad = [
+                    b
+                    for b, r in audit.items()
+                    if int(r["n"]) - int(r["nf"]) != int(r["n_in"] or 0)
+                    or int(r["c_out"] or 0) != int(r["c_in"] or 0)
+                ]
+                if bad:
+                    nv = text_equality_violations(
+                        part, filled.filter(~F.col("is_gap_filled"))
+                    ).count()
                     raise RuntimeError(
-                        f"text-equality invariant violated for {n_viol} turns "
-                        f"— refusing to commit (input_hint contract)"
+                        f"text-equality invariant violated in buckets {sorted(bad)} "
+                        f"({nv} differing turns) — refusing to commit "
+                        f"(input_hint contract)"
                     )
                 tier_rows_in = {}
                 for b in todo:
