@@ -61,8 +61,13 @@ def fill_label_gaps(
     semantics, as window functions.
 
     ``spans``: (conv_id, span_start, span_end) — the ``end_labelling``
-    analog. Intervals are assumed non-overlapping per conv (the
-    reference's are, post-merge).
+    analog, AT MOST ONE row per conv_id (extra rows would duplicate
+    that conversation's intervals — same contract as the reference's
+    scalar ``end_labelling``). Intervals are assumed non-overlapping
+    per conv (the reference's are, post-merge). A conversation with NO
+    span row keeps its original intervals un-dropped (left join;
+    the head/tail gap conditions are null-safe no-ops there — ADVICE
+    r5): only the span-bounded gap filling needs the span.
 
     Single-scan emit (r5): one windowed pass over the joined frame emits
     [gap-before?, interval, tail-gap?] as an exploded struct array —
@@ -76,7 +81,7 @@ def fill_label_gaps(
     w = Window.partitionBy("conv_id").orderBy("start_ts")
     wall = Window.partitionBy("conv_id")
     iv = (
-        intervals.join(spans, "conv_id")
+        intervals.join(spans, "conv_id", "left")
         .withColumn("_prev_end", F.lag("end_ts").over(w))
         .withColumn("_next_start", F.lead("start_ts").over(w))
         .withColumn("_max_end", F.max("end_ts").over(wall))

@@ -74,6 +74,32 @@ def test_fill_label_gaps_head_mid_tail(spark):
     ]
 
 
+def test_fill_keeps_spanless_conversations(spark):
+    """ADVICE r5: a conv_id absent from spans must keep its original
+    intervals (left join; gap/tail fill are null-safe no-ops there) —
+    the r5 inner join silently dropped them."""
+    iv = iv_df(
+        spark,
+        [("c", 10, 20, "A"), ("c", 30, 40, "B"), ("d", 0, 5, "A")],
+    )
+    spans = spark.createDataFrame(
+        [("c", ts(0), ts(50))],
+        "conv_id string, span_start timestamp, span_end timestamp",
+    )
+    got = sorted(
+        (r["conv_id"], r["start_ts"], r["end_ts"], r["label"])
+        for r in fill_label_gaps(iv, spans).collect()
+    )
+    assert got == [
+        ("c", ts(0), ts(10), "Background"),
+        ("c", ts(10), ts(20), "A"),
+        ("c", ts(20), ts(30), "Background"),
+        ("c", ts(30), ts(40), "B"),
+        ("c", ts(40), ts(50), "Background"),
+        ("d", ts(0), ts(5), "A"),  # span-less conv: intervals kept, no fill
+    ]
+
+
 def test_fill_merges_adjacent_same_label(spark):
     iv = iv_df(spark, [("c", 0, 10, "A"), ("c", 10, 20, "A")])
     spans = spark.createDataFrame(
