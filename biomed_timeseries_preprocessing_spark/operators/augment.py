@@ -71,15 +71,19 @@ def augment_gaussian(
         return total - 6.0
 
     aug_id = F.col("aug_id")
+    # a pre-existing aug_id column is replaced (the pre-r5 withColumn
+    # semantics); without the drop the explode alias would collide and
+    # make F.col("aug_id") ambiguous (ADVICE r5)
+    base = df.drop("aug_id")
     return (
-        df.select("*", F.explode(F.sequence(F.lit(0), F.lit(times))).alias("aug_id"))
+        base.select("*", F.explode(F.sequence(F.lit(0), F.lit(times))).alias("aug_id"))
         .withColumn(
             value_col,
             F.when(aug_id == 0, F.col(value_col)).otherwise(
                 F.col(value_col) + (noise(aug_id) * std + F.lit(mean))
             ),
         )
-        .select(*df.columns, "aug_id")
+        .select(*base.columns, "aug_id")
     )
 
 

@@ -34,5 +34,20 @@ def plan_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     executor loss on a cluster)."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=eager)
+        if eager:
+            # Reliable checkpoint computes the plan for the checkpoint
+            # WRITE after the triggering action computed it once already
+            # — persist first so the second pass is a cache read, and
+            # free the blocks as soon as the checkpoint files exist
+            # (ADVICE r5: the CC loop paid ~2× per round without this).
+            # Iteration checkpoints superseded by later ones are cleaned
+            # by Spark when the RDD is GC'd IF the cluster sets
+            # spark.cleaner.referenceTracking.cleanCheckpoints=true —
+            # recommended alongside the checkpoint dir; without it,
+            # long iterative jobs accumulate checkpoint storage.
+            cached = df.persist()
+            out = cached.checkpoint(eager=True)
+            cached.unpersist()
+            return out
+        return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=eager)
