@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .driver_queries import ORACLE, QUERIES, q
 from .functions.scalars import asof_join, with_moving_avg, with_one_hot, with_znorm
@@ -206,35 +207,56 @@ def one_hot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ W4: STFT (rows-only)
 
+def _activity_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse form of the per-minute activity series: only the PRESENT
+    minutes (conv_id, _idx, cnt) — idx 0 at the first present minute —
+    one tier pass + one window. The dense series is this plus zeros."""
+    t = events_as_transcripts(load_events(spark, sf_dir))
+    tier = rollup_from_turns(with_derived(t), "1m").select(
+        "conv_id", "bucket_start", "cnt"
+    )
+    w_all = Window.partitionBy("conv_id")
+    us = F.unix_micros("bucket_start")
+    return tier.select(
+        "conv_id",
+        "cnt",
+        ((us - F.min(us).over(w_all)) / 60_000_000).cast("long").alias("_idx"),
+    )
+
+
 def activity_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regular per-minute activity series per conv (0-filled gaps) — the
     shared input of the STFT queries below and the Parseval check in
-    driver_queries_ext4."""
-    t = events_as_transcripts(load_events(spark, sf_dir))
-    tier = rollup_from_turns(with_derived(t), "1m")
-    grid = (
-        tier.groupBy("conv_id")
-        .agg(
-            F.min(F.unix_micros("bucket_start")).alias("lo"),
-            F.max(F.unix_micros("bucket_start")).alias("hi"),
-        )
-        .select(
-            "conv_id",
-            F.explode(
-                F.sequence(
-                    F.lit(0).cast("long"),
-                    F.floor((F.col("hi") - F.col("lo")) / 60_000_000).cast("long"),
-                )
-            ).alias("idx"),
-            F.col("lo"),
-        )
-        .withColumn(
-            "bucket_start", F.timestamp_micros(F.col("lo") + F.col("idx") * 60_000_000)
-        )
+    driver_queries_ext4.
+
+    One-scan dense generation (r6): each present minute emits itself
+    plus zero rows up to the next present minute (the gapfill
+    lead-generate pattern). The r5 version exploded a full per-conv
+    minute GRID and left-joined the tier against it — 63M grid rows
+    sorted through a SortMergeJoin at sf0.1 (the events table spans
+    ~300 days), with the tier subtree evaluated once per join side.
+    Now the tier runs once, the only shuffle is the tier's own window
+    (~96k rows at sf0.1), and the dense rows are generated map-side
+    already partitioned by conv_id — which the downstream
+    applyInPandas kernels reuse (guide §2.4). Output rows identical:
+    same (conv_id, idx, value) set, zero-filled gaps, idx 0 at the
+    first present minute, last idx = last present minute."""
+    sp = _activity_sparse(spark, sf_dir).withColumn(
+        "_next", F.lead("_idx").over(Window.partitionBy("conv_id").orderBy("_idx"))
     )
-    return grid.join(
-        tier.select("conv_id", "bucket_start", "cnt"), ["conv_id", "bucket_start"], "left"
-    ).select("conv_id", F.col("idx").cast("int").alias("idx"), F.coalesce("cnt", F.lit(0)).cast("double").alias("value"))
+    idxs = F.when(
+        F.col("_next") > F.col("_idx") + F.lit(1),
+        F.sequence(F.col("_idx"), F.col("_next") - F.lit(1)),
+    ).otherwise(F.array(F.col("_idx")))
+    ex = sp.select("conv_id", "_idx", "cnt", F.explode(idxs).alias("idx"))
+    return ex.select(
+        "conv_id",
+        F.col("idx").cast("int").alias("idx"),
+        F.when(F.col("idx") == F.col("_idx"), F.col("cnt"))
+        .otherwise(F.lit(0))
+        .cast("double")
+        .alias("value"),
+    )
 
 
 # rows-only by nature: per-bin dB stats require an FFT the SQL oracle
@@ -245,6 +267,18 @@ def stft_1m_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spectral view of per-minute activity: regular minute grid per conv
     (0-filled gaps) → hamming/rfft frames → per-bin power; the
     create_sfft_windows analog over transcript activity."""
-    series = activity_series(spark, sf_dir)
-    stft = stft_series(series, frame=32, hop=16)
-    return per_bin_stats(stft)
+    from .functions.spectral import stft_per_bin_stats
+
+    # sparse feed: present minutes + per-conv dense length; the kernel
+    # zero-fills, so frames and stats are identical to the dense series
+    # while only ~0.2% of the grid crosses the Arrow boundary
+    sp = _activity_sparse(spark, sf_dir).withColumn(
+        "length", F.max("_idx").over(Window.partitionBy("conv_id")) + F.lit(1)
+    )
+    series = sp.select(
+        "conv_id",
+        F.col("_idx").cast("int").alias("idx"),
+        F.col("cnt").cast("double").alias("value"),
+        "length",
+    )
+    return stft_per_bin_stats(series, frame=32, hop=16, length_col="length")

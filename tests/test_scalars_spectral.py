@@ -100,3 +100,76 @@ def test_stft_series_spark_matches_numpy(spark):
     # short series → zero frames, not an error (min-length guard P9)
     short = spark.createDataFrame([("s", 0, 1.0)], "conv_id string, idx int, value double")
     assert stft_series(short, frame=32, hop=16).count() == 0
+
+
+def test_stft_per_bin_stats_matches_unfused(spark):
+    """Fused per-conv partial-stats kernel == per_bin_stats(stft_series)
+    to float-reduction tolerance (both are partition-order-dependent in
+    the last ulps; the statistics are the same)."""
+    import numpy as np
+    import pandas as pd
+
+    from biomed_timeseries_preprocessing_spark.functions.spectral import (
+        per_bin_stats,
+        stft_per_bin_stats,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (f"c{c}", i, float(v))
+        for c in range(5)
+        for i, v in enumerate(rng.rand(300) * 10)
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, idx int, value double")
+    unfused = (
+        per_bin_stats(stft_series(df, frame=32, hop=16))
+        .toPandas()
+        .sort_values("freq_bin")
+        .reset_index(drop=True)
+    )
+    fused = (
+        stft_per_bin_stats(df, frame=32, hop=16)
+        .toPandas()
+        .sort_values("freq_bin")
+        .reset_index(drop=True)
+    )
+    assert (unfused["n"] == fused["n"]).all()
+    pd.testing.assert_series_equal(unfused["mean_db"], fused["mean_db"], rtol=1e-9)
+    pd.testing.assert_series_equal(unfused["std_db"], fused["std_db"], rtol=1e-9)
+
+
+def test_stft_per_bin_stats_sparse_identical(spark):
+    """Sparse feed (points + length, kernel zero-fill) == dense feed,
+    bit-exact: the densified array is the same array."""
+    import pandas as pd
+
+    from biomed_timeseries_preprocessing_spark.functions.spectral import (
+        stft_per_bin_stats,
+    )
+
+    dense_rows = []
+    sparse_rows = []
+    for c in range(3):
+        length = 200 + 40 * c
+        for i in range(length):
+            v = float((i * 7 + c) % 13) if (i % 5 == 0) else 0.0
+            dense_rows.append((f"c{c}", i, v))
+            if v != 0.0:
+                sparse_rows.append((f"c{c}", i, v, length))
+        # ensure the last index is present so length is recoverable
+        if dense_rows[-1][2] == 0.0:
+            dense_rows[-1] = (f"c{c}", length - 1, 1.0)
+            sparse_rows.append((f"c{c}", length - 1, 1.0, length))
+    dense = spark.createDataFrame(dense_rows, "conv_id string, idx int, value double")
+    sparse = spark.createDataFrame(
+        sparse_rows, "conv_id string, idx int, value double, length int"
+    )
+    a = (
+        stft_per_bin_stats(dense, frame=32, hop=16)
+        .toPandas().sort_values("freq_bin").reset_index(drop=True)
+    )
+    b = (
+        stft_per_bin_stats(sparse, frame=32, hop=16, length_col="length")
+        .toPandas().sort_values("freq_bin").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
