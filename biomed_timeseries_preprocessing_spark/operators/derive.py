@@ -81,9 +81,20 @@ def with_derived(df: DataFrame) -> DataFrame:
     project it — measured 6.2 GB → ~1.5 GB shuffle payload on the
     rollup cascade at 55M turns (the raw text never needs to travel for
     a numeric rollup). Output column order is fixed by the final select
-    so the operator's schema contract is unchanged."""
+    so the operator's schema contract is unchanged.
+
+    A ``token_count`` column already present on ``df`` is trusted and
+    kept (the caller computed it even earlier — e.g. the rollup job
+    hashes+counts text BEFORE its gap-fill shuffle and drops the
+    payload; recomputing here would both be wrong — the text column is
+    gone — and defeat that narrow-shuffle plan)."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     lat_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    if "token_count" in df.columns:
+        out_cols = [c for c in df.columns if c != "token_count"]
+        return df.withColumn(
+            "latency_ms", F.floor(lat_us / 1000).cast("long")
+        ).select(*out_cols, "latency_ms", "token_count")
     return (
         df.withColumn("token_count", token_count_col())
         .withColumn("latency_ms", F.floor(lat_us / 1000).cast("long"))

@@ -36,9 +36,23 @@ from pyspark.sql.window import Window
 OUT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "is_gap_filled"]
 
 
-def gapfill(turns: DataFrame, default_text: str = "") -> DataFrame:
+def gapfill(
+    turns: DataFrame,
+    default_text: str = "",
+    carry: dict[str, object] | None = None,
+) -> DataFrame:
     """Return turns with missing turn_idx rows materialized and filled,
     plus an ``is_gap_filled`` boolean column.
+
+    ``carry``: extra ``{column: gap_value}`` columns to pass through —
+    present rows keep their value, generated gap rows get ``gap_value``
+    (cast to the column's type). This is the narrow-shuffle hook for
+    pipelines that don't need the text payload downstream: precompute
+    what the consumer needs (e.g. token_count, an audit hash) map-side,
+    DROP ``text`` before this operator, and only the narrow columns
+    cross the conv_id exchange (guide §2.3 — the rollup job's tier path
+    does exactly this; a missing ``text`` column is simply omitted from
+    the output).
 
     Physical shape (r6 one-scan rewrite, guide §2.4): ONE scan, ONE
     exchange, ONE window pass, ONE generate. Every present row emits
@@ -56,13 +70,16 @@ def gapfill(turns: DataFrame, default_text: str = "") -> DataFrame:
     callers: the output keeps the conv_id hash partitioning of the
     window, so the derive lag that follows in the rollup job re-uses
     this exchange instead of re-shuffling the text payload."""
+    carry = carry or {}
+    has_text = "text" in turns.columns
+    payload = (["text"] if has_text else []) + list(carry)
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     w_back = w.rowsBetween(Window.unboundedPreceding, 0)
     stepped = turns.select(
         "conv_id",
         "turn_idx",
         "role",
-        "text",
+        *payload,
         "tool",
         "ts",
         F.lead("turn_idx").over(w).alias("_next_idx"),
@@ -78,7 +95,7 @@ def gapfill(turns: DataFrame, default_text: str = "") -> DataFrame:
         "conv_id",
         F.col("turn_idx").alias("_prev_idx"),
         "role",
-        "text",
+        *payload,
         "tool",
         "ts",
         "_next_idx",
@@ -100,12 +117,24 @@ def gapfill(turns: DataFrame, default_text: str = "") -> DataFrame:
             " DIV (_next_idx - _prev_idx)"
         )
     )
-    return ex.select(
-        "conv_id",
-        "turn_idx",
+    out = [
+        F.col("conv_id"),
+        F.col("turn_idx"),
         F.when(is_gap, F.col("_role_f")).otherwise(F.col("role")).alias("role"),
-        F.when(is_gap, F.lit(default_text)).otherwise(F.col("text")).alias("text"),
+    ]
+    if has_text:
+        out.append(
+            F.when(is_gap, F.lit(default_text)).otherwise(F.col("text")).alias("text")
+        )
+    out += [
         F.when(is_gap, F.col("_tool_f")).otherwise(F.col("tool")).alias("tool"),
         F.when(is_gap, interp).otherwise(F.col("ts")).alias("ts"),
         is_gap.alias("is_gap_filled"),
-    )
+    ]
+    for c, gap_value in carry.items():
+        out.append(
+            F.when(is_gap, F.lit(gap_value).cast(turns.schema[c].dataType))
+            .otherwise(F.col(c))
+            .alias(c)
+        )
+    return ex.select(*out)

@@ -45,7 +45,10 @@ from pyspark.sql import Observation  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from biomed_timeseries_preprocessing_spark.functions.codec import encode_chunks  # noqa: E402
-from biomed_timeseries_preprocessing_spark.operators.derive import with_derived  # noqa: E402
+from biomed_timeseries_preprocessing_spark.operators.derive import (  # noqa: E402
+    token_count_col,
+    with_derived,
+)
 from biomed_timeseries_preprocessing_spark.operators.gapfill import gapfill  # noqa: E402
 from biomed_timeseries_preprocessing_spark.operators.rollup import (  # noqa: E402
     TIER_ORDER,
@@ -304,20 +307,42 @@ def run(args, spark=None) -> dict:
             # path, which is also the only path that recomputes the
             # un-persisted filled frame. _gapfill_audit() validates
             # after the first action and always BEFORE any commit.
-            _ck = F.xxhash64("conv_id", "turn_idx", "text").cast("decimal(38,0)")
+            # narrow-shuffle plan (guide §2.3): token_count and the
+            # invariant hash are computed map-side from text BEFORE the
+            # gap-fill exchange and the text payload is DROPPED — only
+            # ~40 B/row crosses the bucket shuffle instead of the raw
+            # text. The carried hash preserves the invariant's power
+            # against row loss/duplication/misrouting (there is no text
+            # in flight left to corrupt), and gap rows get
+            # token_count=0, exactly what the old derive computed from
+            # their "" fill text.
             pobs, gobs = Observation(), Observation()
-            src = part.observe(
+            narrow = part.select(
+                "conv_id",
+                "turn_idx",
+                "role",
+                "tool",
+                "ts",
+                token_count_col().alias("token_count"),
+                F.xxhash64("conv_id", "turn_idx", "text").alias("_th"),
+            )
+            src = narrow.observe(
                 pobs,
                 F.count(F.lit(1)).alias("n_in"),
-                F.sum(_ck).alias("c_in"),
+                F.sum(F.col("_th").cast("decimal(38,0)")).alias("c_in"),
             )
-            filled = gapfill(src)
+            filled = gapfill(src, carry={"token_count": 0, "_th": None})
             work_turns = filled.observe(
                 gobs,
                 F.count(F.lit(1)).alias("n"),
                 F.count_if(F.col("is_gap_filled")).alias("nf"),
-                F.sum(F.when(~F.col("is_gap_filled"), _ck)).alias("c_out"),
-            ).drop("is_gap_filled")
+                F.sum(
+                    F.when(
+                        ~F.col("is_gap_filled"),
+                        F.col("_th").cast("decimal(38,0)"),
+                    )
+                ).alias("c_out"),
+            ).drop("is_gap_filled", "_th")
         else:
             gobs = pobs = None
             work_turns = part
@@ -494,19 +519,38 @@ def run(args, spark=None) -> dict:
         persisted = []
         try:
             if args.gapfill:
-                filled = gapfill(part).persist()
+                # same narrow-shuffle + checksum-invariant plan as the
+                # per-bucket scheduler (see there): hash/count text
+                # map-side, drop the payload, carry token_count and the
+                # hash through the fill
+                narrow = part.select(
+                    "conv_id",
+                    "turn_idx",
+                    "role",
+                    "tool",
+                    "ts",
+                    token_count_col().alias("token_count"),
+                    F.xxhash64("conv_id", "turn_idx", "text").alias("_th"),
+                )
+                filled = gapfill(
+                    narrow, carry={"token_count": 0, "_th": None}
+                ).persist()
                 persisted.append(filled)
                 # ONE action: per-bucket totals + filled counts + the
-                # multiset-checksum text-equality invariant (see the
-                # per-bucket scheduler — same aggregates, grouped by
-                # bucket; both subtrees are map-side partial aggregates,
-                # no text ever crosses a shuffle for the audit)
+                # multiset-checksum text-equality invariant (both
+                # subtrees are map-side partial aggregates; no text
+                # ever crosses a shuffle for the audit)
                 _ck = F.xxhash64("conv_id", "turn_idx", "text").cast("decimal(38,0)")
                 counts = (
                     filled.groupBy(bcol.alias("bucket")).agg(
                         F.count(F.lit(1)).alias("n"),
                         F.count_if(F.col("is_gap_filled")).alias("nf"),
-                        F.sum(F.when(~F.col("is_gap_filled"), _ck)).alias("c_out"),
+                        F.sum(
+                            F.when(
+                                ~F.col("is_gap_filled"),
+                                F.col("_th").cast("decimal(38,0)"),
+                            )
+                        ).alias("c_out"),
                     )
                 )
                 ins = part.groupBy(bcol.alias("bucket")).agg(
@@ -540,7 +584,7 @@ def run(args, spark=None) -> dict:
                     lineage_by_bucket[b].append(
                         (args.run_id, "gapfill", bkey(b), n - nf, nf, None, None, 0, wall())
                     )
-                work_turns = filled.drop("is_gap_filled")
+                work_turns = filled.drop("is_gap_filled", "_th")
             else:
                 work_turns = part
                 tier_rows_in = None
